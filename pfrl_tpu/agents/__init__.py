@@ -1,0 +1,47 @@
+"""Algorithm zoo (reference parity: pfrl/agents/)."""
+
+from pfrl_tpu.agents.al import AL, ALCore
+from pfrl_tpu.agents.categorical_dqn import (
+    CategoricalDQN,
+    CategoricalDQNCore,
+    CategoricalDoubleDQN,
+    CategoricalDoubleDQNCore,
+)
+from pfrl_tpu.agents.ddpg import DDPG, DDPGCore
+from pfrl_tpu.agents.double_dqn import DoubleDQN, DoubleDQNCore
+from pfrl_tpu.agents.dpp import DPP, DPPCore
+from pfrl_tpu.agents.dqn import DQN, DQNCore, DQNState
+from pfrl_tpu.agents.iqn import IQN, DoubleIQN, DoubleIQNCore, IQNCore
+from pfrl_tpu.agents.pal import PAL, DoublePAL, DoublePALCore, PALCore
+from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
+from pfrl_tpu.agents.td3 import TD3, TD3Core
+
+__all__ = [
+    "AL",
+    "ALCore",
+    "CategoricalDQN",
+    "CategoricalDQNCore",
+    "CategoricalDoubleDQN",
+    "CategoricalDoubleDQNCore",
+    "DDPG",
+    "DDPGCore",
+    "DoubleDQN",
+    "DoubleDQNCore",
+    "DPP",
+    "DPPCore",
+    "DQN",
+    "DQNCore",
+    "DQNState",
+    "IQN",
+    "DoubleIQN",
+    "DoubleIQNCore",
+    "IQNCore",
+    "PAL",
+    "DoublePAL",
+    "DoublePALCore",
+    "PALCore",
+    "SACCore",
+    "SoftActorCritic",
+    "TD3",
+    "TD3Core",
+]

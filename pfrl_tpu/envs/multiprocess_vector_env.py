@@ -1,0 +1,112 @@
+"""Subprocess-per-env host vector env.
+
+Reference parity: pfrl/envs/multiprocess_vector_env.py:11-141 (same pipe
+protocol: step/reset/close/get_spaces/seed, masked reset keeps the last
+observation for still-running envs). On the TPU stack this only exists to
+feed *external* simulators (Atari/MuJoCo) into the batched driver; pure-JAX
+envs use :class:`pfrl_tpu.envs.vector_jax_env.VectorJaxEnv` and never leave
+the device.
+"""
+
+import multiprocessing as mp
+from multiprocessing.connection import Connection
+
+import numpy as np
+
+from pfrl_tpu.env import VectorEnv
+
+
+def _worker(remote: Connection, env_fn) -> None:
+    env = env_fn()
+    try:
+        while True:
+            cmd, data = remote.recv()
+            if cmd == "step":
+                ob, reward, done, info = env.step(data)
+                remote.send((ob, reward, done, info))
+            elif cmd == "reset":
+                ob = env.reset()
+                remote.send(ob)
+            elif cmd == "close":
+                remote.close()
+                break
+            elif cmd == "get_spaces":
+                remote.send((env.action_space, env.observation_space))
+            elif cmd == "seed":
+                if hasattr(env, "seed"):
+                    remote.send(env.seed(data))
+                else:
+                    remote.send(None)
+            else:
+                raise NotImplementedError(cmd)
+    finally:
+        env.close()
+
+
+class MultiprocessVectorEnv(VectorEnv):
+    def __init__(self, env_fns):
+        nenvs = len(env_fns)
+        ctx = mp.get_context("fork")
+        self.remotes, self.work_remotes = zip(*[ctx.Pipe() for _ in range(nenvs)])
+        self.ps = [
+            ctx.Process(target=_worker, args=(work_remote, env_fn), daemon=True)
+            for (work_remote, env_fn) in zip(self.work_remotes, env_fns)
+        ]
+        for p in self.ps:
+            p.start()
+        self.last_obs = [None] * nenvs
+        self.remotes[0].send(("get_spaces", None))
+        self.action_space, self.observation_space = self.remotes[0].recv()
+        self.closed = False
+
+    def __del__(self):
+        if not self.closed:
+            self.close()
+
+    @property
+    def num_envs(self) -> int:
+        return len(self.remotes)
+
+    def step(self, actions):
+        self._assert_not_closed()
+        for remote, action in zip(self.remotes, actions):
+            remote.send(("step", action))
+        results = [remote.recv() for remote in self.remotes]
+        obss, rews, dones, infos = zip(*results)
+        self.last_obs = list(obss)
+        return obss, np.asarray(rews, dtype=np.float32), np.asarray(dones, dtype=bool), infos
+
+    def reset(self, mask=None):
+        self._assert_not_closed()
+        if mask is None:
+            mask = np.zeros(self.num_envs, dtype=bool)
+        for m, remote in zip(mask, self.remotes):
+            if not m:
+                remote.send(("reset", None))
+        obss = [
+            last if m else remote.recv()
+            for m, remote, last in zip(mask, self.remotes, self.last_obs)
+        ]
+        self.last_obs = obss
+        return obss
+
+    def seed(self, seeds=None):
+        self._assert_not_closed()
+        if seeds is None:
+            seeds = [None] * self.num_envs
+        elif np.isscalar(seeds):
+            seeds = [seeds] * self.num_envs
+        for remote, s in zip(self.remotes, seeds):
+            remote.send(("seed", s))
+        return [remote.recv() for remote in self.remotes]
+
+    def close(self):
+        self._assert_not_closed()
+        self.closed = True
+        for remote in self.remotes:
+            remote.send(("close", None))
+        for p in self.ps:
+            p.join()
+
+    def _assert_not_closed(self):
+        assert not self.closed, "This env is already closed"

@@ -1,0 +1,38 @@
+"""Training drivers and experiment infrastructure (reference parity: pfrl/experiments/)."""
+
+from pfrl_tpu.experiments.evaluator import (
+    Evaluator,
+    eval_performance,
+    run_evaluation_episodes,
+)
+from pfrl_tpu.experiments.hooks import LinearInterpolationHook, StepHook
+from pfrl_tpu.experiments.prepare_output_dir import prepare_output_dir
+from pfrl_tpu.experiments.runner import (
+    JaxEvalLoop,
+    OffPolicyRunner,
+    RunnerConfig,
+)
+from pfrl_tpu.experiments.train_agent import (
+    train_agent,
+    train_agent_with_evaluation,
+)
+from pfrl_tpu.experiments.train_agent_batch import (
+    train_agent_batch,
+    train_agent_batch_with_evaluation,
+)
+
+__all__ = [
+    "Evaluator",
+    "eval_performance",
+    "run_evaluation_episodes",
+    "LinearInterpolationHook",
+    "StepHook",
+    "prepare_output_dir",
+    "JaxEvalLoop",
+    "OffPolicyRunner",
+    "RunnerConfig",
+    "train_agent",
+    "train_agent_with_evaluation",
+    "train_agent_batch",
+    "train_agent_batch_with_evaluation",
+]

@@ -1,0 +1,301 @@
+"""Fully on-device training loops.
+
+This is the TPU-native replacement for the reference's training drivers: the
+per-step Python ``while`` of pfrl/experiments/train_agent.py:53-101 (and the
+pipe round-trips of the batch driver) becomes ONE jitted function — act,
+env step, replay insert, (gated) gradient update(s), target sync — iterated
+with ``lax.scan``. A whole chunk of training (thousands of env steps ×
+hundreds of lanes) runs per dispatch; the host only sees aggregated metrics.
+
+Works with any JaxEnv + any functional agent core following the
+``init/select_action/update/sync_target`` protocol (pfrl_tpu/agents).
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax.core import FrozenDict
+
+from pfrl_tpu.env import JaxEnv
+from pfrl_tpu.envs.vector_jax_env import VectorJaxEnv
+from pfrl_tpu.replay.transition import Transition
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    """Static schedule config for the off-policy runner.
+
+    Cadences are expressed in env *transitions* (matching the reference's
+    ``t``): with L lanes, each scan step advances t by L, so
+    ``updates_per_step = L * n_times_update / update_interval`` gradient
+    steps run per scan step once ``t >= replay_start_size``.
+    """
+
+    num_envs: int = 128
+    replay_start_size: int = 1000
+    update_interval: int = 1
+    n_times_update: int = 1
+    target_update_interval: int = 1000
+    minibatch_size: int = 32
+
+    @property
+    def updates_per_step(self) -> int:
+        per = self.num_envs * self.n_times_update / self.update_interval
+        assert per == int(per) and per >= 1, (
+            f"num_envs*n_times_update ({self.num_envs}*{self.n_times_update}) "
+            f"must be a multiple of update_interval ({self.update_interval})"
+        )
+        return int(per)
+
+
+@struct.dataclass
+class RunnerState:
+    env_states: Any
+    obs: Any
+    train_state: Any
+    replay_state: Any
+    rng: jax.Array
+    t: jax.Array                 # env transitions so far
+    episode_return: jax.Array    # [L] running returns
+    # Host-visible episodic stats (ring of recent completed returns):
+    recent_returns: jax.Array    # [window]
+    recent_count: jax.Array
+
+
+class OffPolicyRunner:
+    """DQN-family / actor-critic off-policy training fused on device."""
+
+    def __init__(
+        self,
+        env: JaxEnv,
+        core,
+        buffer,
+        config: RunnerConfig,
+        return_window: int = 256,
+    ):
+        self.env = VectorJaxEnv(env, config.num_envs)
+        self.core = core
+        self.buffer = buffer
+        self.config = config
+        self.return_window = return_window
+        assert buffer.num_lanes == config.num_envs, (
+            "buffer num_lanes must equal runner num_envs"
+        )
+        self._jit_chunk = None
+
+    # ----------------------------------------------------------------- init
+    def init(self, rng: jax.Array) -> RunnerState:
+        rng, rng_env, rng_core = jax.random.split(rng, 3)
+        env_states, obs = self.env.reset(rng_env)
+        example_actions = jnp.stack(
+            [self._example_action()] * self.config.num_envs
+        )
+        train_state = self.core.init(rng_core, obs, example_actions)
+        example = Transition(
+            obs=jax.tree.map(lambda x: x[0], obs),
+            action=self._example_action(),
+            reward=jnp.zeros((), jnp.float32),
+            next_obs=jax.tree.map(lambda x: x[0], obs),
+            terminated=jnp.zeros((), bool),
+            done=jnp.zeros((), bool),
+            extras=FrozenDict(),
+        )
+        replay_state = self.buffer.init(example)
+        return RunnerState(
+            env_states=env_states,
+            obs=obs,
+            train_state=train_state,
+            replay_state=replay_state,
+            rng=rng,
+            t=jnp.zeros((), jnp.int32),
+            episode_return=jnp.zeros((self.config.num_envs,), jnp.float32),
+            recent_returns=jnp.zeros((self.return_window,), jnp.float32),
+            recent_count=jnp.zeros((), jnp.int32),
+        )
+
+    def _example_action(self):
+        space = self.env.action_space
+        if hasattr(space, "n"):
+            return jnp.zeros((), jnp.int32)
+        return jnp.zeros(space.shape, jnp.float32)
+
+    # ----------------------------------------------------------------- step
+    def _one_step(self, state: RunnerState, _) -> Tuple[RunnerState, dict]:
+        cfg = self.config
+        rng, rng_act, rng_env, rng_upd = jax.random.split(state.rng, 4)
+
+        actions = self.core.select_action(
+            state.train_state, rng_act, state.obs, state.t, True
+        )
+        env_states, vec = self.env.step(rng_env, state.env_states, actions)
+        ts = vec.ts
+
+        transition = Transition(
+            obs=state.obs,
+            action=actions,
+            reward=ts.reward,
+            next_obs=ts.obs,
+            terminated=ts.terminated,
+            done=ts.done,
+            extras=FrozenDict(),
+        )
+        replay_state = self.buffer.add(state.replay_state, transition)
+        t = state.t + cfg.num_envs
+
+        # Episode-return bookkeeping (device-side recent window).
+        ep_ret = state.episode_return + ts.reward
+        finished = ts.done
+        n_finished = jnp.sum(finished.astype(jnp.int32))
+        # Write finished returns into the ring (scatter; order irrelevant).
+        lane_order = jnp.argsort(~finished)  # finished lanes first
+        sorted_fin = finished[lane_order]
+        sorted_ret = ep_ret[lane_order]
+        pos = (state.recent_count + jnp.arange(cfg.num_envs, dtype=jnp.int32)) % self.return_window
+        write_pos = jnp.where(sorted_fin, pos, self.return_window)  # OOB drops
+        recent = state.recent_returns
+        recent = recent.at[write_pos].set(sorted_ret, mode="drop")
+        recent_count = state.recent_count + n_finished
+        ep_ret = jnp.where(finished, 0.0, ep_ret)
+
+        # Gated updates.
+        train_state, replay_state2, aux = self._maybe_update(
+            state.train_state, replay_state, rng_upd, t
+        )
+
+        # Target sync on interval crossing (in env transitions).
+        crossed = (t // cfg.target_update_interval) != (
+            state.t // cfg.target_update_interval
+        )
+        train_state = jax.lax.cond(
+            crossed, self.core.sync_target, lambda s: s, train_state
+        )
+
+        metrics = {
+            "reward_mean": jnp.mean(ts.reward),
+            "loss": aux["loss"],
+            "done_count": n_finished,
+        }
+        new_state = RunnerState(
+            env_states=env_states,
+            obs=vec.obs,
+            train_state=train_state,
+            replay_state=replay_state2,
+            rng=rng,
+            t=t,
+            episode_return=ep_ret,
+            recent_returns=recent,
+            recent_count=recent_count,
+        )
+        return new_state, metrics
+
+    def _maybe_update(self, train_state, replay_state, rng, t):
+        cfg = self.config
+
+        def do_updates(args):
+            train_state, replay_state, rng = args
+            def body(_, carry):
+                train_state, replay_state, rng, _ = carry
+                rng, rng_s, rng_u = jax.random.split(rng, 3)
+                out = self.buffer.sample(replay_state, rng_s, cfg.minibatch_size)
+                if isinstance(out, tuple):
+                    batch, replay_state = out
+                else:
+                    batch = out
+                train_state, aux = self.core.update(train_state, rng_u, batch)
+                replay_state = self.buffer.update_priorities(
+                    replay_state, batch.indices, aux["errors"]
+                )
+                return (train_state, replay_state, rng, aux["loss"])
+
+            init = (train_state, replay_state, rng, jnp.zeros((), jnp.float32))
+            train_state, replay_state, _, loss = jax.lax.fori_loop(
+                0, cfg.updates_per_step, body, init
+            )
+            return train_state, replay_state, {"loss": loss}
+
+        def no_update(args):
+            train_state, replay_state, _ = args
+            return train_state, replay_state, {"loss": jnp.zeros((), jnp.float32)}
+
+        return jax.lax.cond(
+            t >= cfg.replay_start_size,
+            do_updates,
+            no_update,
+            (train_state, replay_state, rng),
+        )
+
+    # ---------------------------------------------------------------- chunks
+    def run_chunk(self, state: RunnerState, num_steps: int) -> Tuple[RunnerState, dict]:
+        """Run ``num_steps`` scan iterations (num_steps * L env transitions)."""
+        if self._jit_chunk is None:
+            def chunk(state, length):
+                return jax.lax.scan(self._one_step, state, None, length=length)
+            self._jit_chunk = jax.jit(chunk, static_argnames=("length",))
+        state, metrics = self._jit_chunk(state, length=num_steps)
+        return state, metrics
+
+    def recent_return_mean(self, state: RunnerState) -> float:
+        n = int(np.minimum(int(state.recent_count), self.return_window))
+        if n == 0:
+            return float("nan")
+        return float(np.asarray(state.recent_returns)[:n].mean()) if int(
+            state.recent_count
+        ) < self.return_window else float(np.asarray(state.recent_returns).mean())
+
+
+class JaxEvalLoop:
+    """Greedy evaluation over a vmapped env, fully jitted.
+
+    Runs lanes for ``max_steps`` and scores the FIRST completed episode of
+    each lane (no length bias: every lane contributes exactly one episode,
+    mirroring the first-n bookkeeping of evaluator.py:100-251).
+    """
+
+    def __init__(self, env: JaxEnv, core, num_episodes: int, max_steps: int):
+        self.env = VectorJaxEnv(env, num_episodes)
+        self.core = core
+        self.max_steps = max_steps
+        self._jit_run = jax.jit(self._run)
+
+    def _run(self, train_state, rng):
+        rng, rng_reset = jax.random.split(rng)
+        env_states, obs = self.env.reset(rng_reset)
+        L = self.env.num_envs
+
+        def body(carry, _):
+            env_states, obs, rng, ep_ret, final_ret, finished = carry
+            rng, rng_act, rng_env = jax.random.split(rng, 3)
+            actions = self.core.select_action(
+                train_state, rng_act, obs, jnp.zeros((), jnp.int32), False
+            )
+            env_states, vec = self.env.step(rng_env, env_states, actions)
+            ep_ret = ep_ret + vec.ts.reward * (~finished)
+            newly = vec.ts.done & (~finished)
+            final_ret = jnp.where(newly, ep_ret, final_ret)
+            finished = finished | vec.ts.done
+            return (env_states, obs_next(vec), rng, ep_ret, final_ret, finished), None
+
+        def obs_next(vec):
+            return vec.obs
+
+        init = (
+            env_states,
+            obs,
+            rng,
+            jnp.zeros((L,), jnp.float32),
+            jnp.zeros((L,), jnp.float32),
+            jnp.zeros((L,), bool),
+        )
+        (env_states, obs, rng, ep_ret, final_ret, finished), _ = jax.lax.scan(
+            body, init, None, length=self.max_steps
+        )
+        # Lanes that never finished contribute their partial return.
+        final_ret = jnp.where(finished, final_ret, ep_ret)
+        return final_ret
+
+    def evaluate(self, train_state, rng) -> np.ndarray:
+        return np.asarray(self._jit_run(train_state, rng))

@@ -1,0 +1,24 @@
+"""Q-function model zoo (reference parity: pfrl/q_functions/)."""
+
+from pfrl_tpu.q_functions.dueling_dqn import DistributionalDuelingDQN, DuelingDQN
+from pfrl_tpu.q_functions.state_action_q_functions import (
+    FCBNSAQFunction,
+    FCSAQFunction,
+)
+from pfrl_tpu.q_functions.state_q_functions import (
+    DiscreteActionValueHead,
+    DistributionalFCStateQFunctionWithDiscreteAction,
+    FCQuadraticStateQFunction,
+    FCStateQFunctionWithDiscreteAction,
+)
+
+__all__ = [
+    "DistributionalDuelingDQN",
+    "DuelingDQN",
+    "FCBNSAQFunction",
+    "FCSAQFunction",
+    "DiscreteActionValueHead",
+    "DistributionalFCStateQFunctionWithDiscreteAction",
+    "FCQuadraticStateQFunction",
+    "FCStateQFunctionWithDiscreteAction",
+]

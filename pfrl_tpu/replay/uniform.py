@@ -1,0 +1,162 @@
+"""Uniform device-resident replay buffer.
+
+Reference parity: pfrl/replay_buffers/replay_buffer.py:9-95 +
+the ``batch_experiences`` collation (pfrl/replay_buffer.py:157-212).
+
+TPU-native design: a preallocated ring of device arrays with a monotonic
+write cursor. Batched insert (one slot per env lane per step) is a single
+scatter; sampling gathers random rows. N-step returns are folded at *sample*
+time from the raw 1-step ring — the ring layout interleaves env lanes, so
+the temporal successor of slot ``i`` is ``i + num_lanes``; windows are
+masked at episode boundaries, reproducing the reference's per-env staging
+deques + ``stop_current_episode`` flush semantics without any host state.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pfrl_tpu.replay.transition import Transition, TransitionBatch
+
+
+@struct.dataclass
+class ReplayState:
+    storage: Transition      # [capacity, ...] per leaf
+    cursor: jax.Array        # int64-ish monotonic count of items written
+
+    @property
+    def size(self) -> jax.Array:
+        capacity = jax.tree.leaves(self.storage)[0].shape[0]
+        return jnp.minimum(self.cursor, capacity)
+
+
+class ReplayBuffer:
+    """Static config + pure init/add/sample functions over ReplayState.
+
+    Args:
+        capacity: max stored transitions (rounded to a multiple of lanes).
+        num_steps: n of n-step returns (reference: ReplayBuffer(num_steps)).
+        gamma: discount used for the n-step fold (the reference folds with
+            the agent's gamma inside batch_experiences).
+        num_lanes: env-batch width of each ``add`` call; fixes the ring
+            stride so n-step windows follow a single env lane.
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        num_steps: int = 1,
+        gamma: float = 0.99,
+        num_lanes: int = 1,
+    ):
+        assert capacity >= num_lanes * num_steps
+        self.num_lanes = num_lanes
+        self.capacity = (capacity // num_lanes) * num_lanes
+        self.num_steps = num_steps
+        self.gamma = gamma
+
+    def configure_lanes(self, num_lanes: int) -> "ReplayBuffer":
+        """Return a copy reconfigured for a different env-batch width.
+
+        The host shell calls this lazily once it learns the vector-env size
+        (the reference discovers the same thing via env_id keys on its
+        staging deques, replay_buffers/replay_buffer.py:29-45).
+        """
+        return ReplayBuffer(
+            capacity=self.capacity,
+            num_steps=self.num_steps,
+            gamma=self.gamma,
+            num_lanes=num_lanes,
+        )
+
+    # ------------------------------------------------------------------ init
+    def init(self, example: Transition) -> ReplayState:
+        """Allocate storage from a single example transition (no batch dim)."""
+        storage = jax.tree.map(
+            lambda x: jnp.zeros((self.capacity,) + jnp.shape(x), jnp.result_type(x)),
+            example,
+        )
+        return ReplayState(storage=storage, cursor=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------- add
+    def add(self, state: ReplayState, batch: Transition) -> ReplayState:
+        """Insert ``num_lanes`` transitions (one per env lane)."""
+        lanes = jax.tree.leaves(batch)[0].shape[0]
+        idx = (state.cursor + jnp.arange(lanes, dtype=jnp.int32)) % self.capacity
+        storage = jax.tree.map(
+            lambda s, x: s.at[idx].set(x), state.storage, batch
+        )
+        return ReplayState(storage=storage, cursor=state.cursor + lanes)
+
+    # ----------------------------------------------------------------- sample
+    def _sampleable_range(self, state: ReplayState):
+        """Monotonic id range [lo, hi) of n-step-window-complete items."""
+        lo = jnp.maximum(0, state.cursor - self.capacity)
+        hi = state.cursor - (self.num_steps - 1) * self.num_lanes
+        return lo, hi
+
+    def sample_indices(
+        self, state: ReplayState, rng: jax.Array, batch_size: int
+    ) -> jax.Array:
+        lo, hi = self._sampleable_range(state)
+        return lo + jax.random.randint(rng, (batch_size,), 0, jnp.maximum(hi - lo, 1))
+
+    def gather(self, state: ReplayState, ids: jax.Array) -> TransitionBatch:
+        """Materialize an n-step-folded batch from monotonic ids."""
+        n, stride = self.num_steps, self.num_lanes
+        # Window of n successive same-lane slots: [B, n]
+        win = (ids[:, None] + jnp.arange(n, dtype=ids.dtype)[None, :] * stride) % self.capacity
+        first = win[:, 0]
+
+        st = state.storage
+        rewards = st.reward[win]              # [B, n]
+        terminated = st.terminated[win]       # [B, n]
+        dones = st.done[win]                  # [B, n]
+
+        # Steps strictly after an episode boundary are invalid.
+        boundary_before = jnp.cumsum(
+            jnp.pad(dones[:, : n - 1], ((0, 0), (1, 0))), axis=1
+        )
+        valid = boundary_before == 0          # [B, n]; [:,0] always True
+        discounts = self.gamma ** jnp.arange(n, dtype=jnp.float32)
+        folded_reward = jnp.sum(
+            rewards * valid.astype(rewards.dtype) * discounts, axis=1
+        )
+        k = jnp.sum(valid, axis=1)            # steps actually folded
+        discount = self.gamma ** k.astype(jnp.float32)
+        is_terminal = jnp.any(terminated & valid, axis=1)
+        # Bootstrap obs is next_obs of the last folded step.
+        last = win[jnp.arange(win.shape[0]), k - 1]
+
+        obs = jax.tree.map(lambda x: x[first], st.obs)
+        next_obs = jax.tree.map(lambda x: x[last], st.next_obs)
+        extras = jax.tree.map(lambda x: x[first], st.extras)
+        return TransitionBatch(
+            obs=obs,
+            action=st.action[first],
+            reward=folded_reward,
+            next_obs=next_obs,
+            discount=discount,
+            is_terminal=is_terminal,
+            weight=jnp.ones_like(folded_reward),
+            indices=ids,
+            extras=extras,
+        )
+
+    def sample(
+        self, state: ReplayState, rng: jax.Array, batch_size: int
+    ) -> TransitionBatch:
+        ids = self.sample_indices(state, rng, batch_size)
+        return self.gather(state, ids)
+
+    # Priority feedback is a no-op for the uniform buffer.
+    def update_priorities(
+        self, state: ReplayState, ids: jax.Array, priorities: jax.Array
+    ) -> ReplayState:
+        del ids, priorities
+        return state
+
+    def __len__(self):
+        raise TypeError("ReplayBuffer is stateless; use state.size")

@@ -1,0 +1,39 @@
+"""Shared utilities (reference parity: pfrl/utils/)."""
+
+from pfrl_tpu.utils.batch_states import batch_states
+from pfrl_tpu.utils.conjugate_gradient import conjugate_gradient
+from pfrl_tpu.utils.copy_param import (
+    copy_param,
+    soft_copy_param,
+    synchronize_parameters,
+)
+from pfrl_tpu.utils.mode_of_distribution import mode_of_distribution
+from pfrl_tpu.utils.pytree import (
+    tree_replace,
+    tree_select,
+    tree_stack,
+    tree_unstack,
+    tree_where,
+    tree_zeros_like_batched,
+)
+from pfrl_tpu.utils.random import sample_n_k
+from pfrl_tpu.utils.random_seed import set_random_seed
+from pfrl_tpu.utils.stats import RunningStats
+
+__all__ = [
+    "batch_states",
+    "conjugate_gradient",
+    "copy_param",
+    "soft_copy_param",
+    "synchronize_parameters",
+    "mode_of_distribution",
+    "tree_replace",
+    "tree_select",
+    "tree_stack",
+    "tree_unstack",
+    "tree_where",
+    "tree_zeros_like_batched",
+    "sample_n_k",
+    "set_random_seed",
+    "RunningStats",
+]

@@ -1,0 +1,25 @@
+"""Host-side env wrappers (reference parity: pfrl/wrappers/).
+
+These wrap *host* envs (our Env protocol or gym-compatible objects) feeding
+the batched drivers. Pure-JAX envs use the functional wrappers in
+pfrl_tpu/envs/wrappers.py instead. Atari wrappers live in
+``atari_wrappers`` and gate their cv2 dependency at call time.
+"""
+
+from pfrl_tpu.wrappers.continuing_time_limit import ContinuingTimeLimit
+from pfrl_tpu.wrappers.misc import (
+    CastObservationToFloat32,
+    NormalizeActionSpace,
+    RandomizeAction,
+    ScaleReward,
+)
+from pfrl_tpu.wrappers.vector_frame_stack import VectorFrameStack
+
+__all__ = [
+    "ContinuingTimeLimit",
+    "CastObservationToFloat32",
+    "NormalizeActionSpace",
+    "RandomizeAction",
+    "ScaleReward",
+    "VectorFrameStack",
+]
