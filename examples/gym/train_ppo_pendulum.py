@@ -1,0 +1,81 @@
+"""Train PPO on Pendulum-v1 via the reference-style host batch driver.
+
+Counterpart of the reference's examples/mujoco/reproduction/ppo/train_ppo.py
+wired to the in-repo pure-JAX Pendulum. Exercises the pfrl-protocol path:
+PPO shell agent + SerialVectorEnv + train_agent_batch_with_evaluation.
+
+Usage: python examples/gym/train_ppo_pendulum.py --steps 100000
+"""
+
+import argparse
+
+import flax.linen as nn
+import optax
+
+from pfrl_tpu.agents.ppo import PPO
+from pfrl_tpu.envs import HostJaxEnv, Pendulum, SerialVectorEnv, TimeLimit
+from pfrl_tpu.experiments import train_agent_batch_with_evaluation
+from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+
+
+class PiV(nn.Module):
+    action_size: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.tanh(nn.Dense(64)(x))
+        h = nn.tanh(nn.Dense(64)(h))
+        mean = nn.Dense(self.action_size)(h)
+        dist = GaussianHeadWithStateIndependentCovariance(
+            action_size=self.action_size
+        )(mean)
+        value = nn.Dense(1)(h)
+        return dist, value
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=100_000)
+    parser.add_argument("--num-envs", type=int, default=8)
+    parser.add_argument("--eval-interval", type=int, default=20_000)
+    parser.add_argument("--outdir", type=str, default="results/ppo_pendulum")
+    args = parser.parse_args()
+
+    def make_vec(seed0):
+        return SerialVectorEnv(
+            [
+                HostJaxEnv(TimeLimit(Pendulum()), seed=seed0 + i)
+                for i in range(args.num_envs)
+            ]
+        )
+
+    agent = PPO(
+        PiV(),
+        optax.adam(3e-4),
+        gamma=0.99,
+        lambd=0.95,
+        update_interval=2048,
+        minibatch_size=64,
+        epochs=10,
+        clip_eps=0.2,
+        entropy_coef=0.0,
+        standardize_advantages=True,
+        seed=args.seed,
+    )
+    agent, history = train_agent_batch_with_evaluation(
+        agent,
+        make_vec(args.seed * 100),
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=args.eval_interval,
+        outdir=args.outdir,
+        eval_env=make_vec(args.seed * 100 + 50),
+        log_interval=10_000,
+    )
+    print("eval history:", [(h["step"], round(h["eval_score"], 1)) for h in history])
+
+
+if __name__ == "__main__":
+    main()

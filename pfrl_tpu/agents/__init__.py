@@ -1,5 +1,7 @@
 """Algorithm zoo (reference parity: pfrl/agents/)."""
 
+from pfrl_tpu.agents.a2c import A2C, A2CCore
+from pfrl_tpu.agents.a3c import A3C, A3CCore
 from pfrl_tpu.agents.al import AL, ALCore
 from pfrl_tpu.agents.categorical_dqn import (
     CategoricalDQN,
@@ -13,10 +15,17 @@ from pfrl_tpu.agents.dpp import DPP, DPPCore
 from pfrl_tpu.agents.dqn import DQN, DQNCore, DQNState
 from pfrl_tpu.agents.iqn import IQN, DoubleIQN, DoubleIQNCore, IQNCore
 from pfrl_tpu.agents.pal import PAL, DoublePAL, DoublePALCore, PALCore
+from pfrl_tpu.agents.ppo import PPO, PPOCore
+from pfrl_tpu.agents.reinforce import REINFORCE, ReinforceCore
 from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
 from pfrl_tpu.agents.td3 import TD3, TD3Core
+from pfrl_tpu.agents.trpo import TRPO, TRPOCore
 
 __all__ = [
+    "A2C",
+    "A2CCore",
+    "A3C",
+    "A3CCore",
     "AL",
     "ALCore",
     "CategoricalDQN",
@@ -40,8 +49,14 @@ __all__ = [
     "DoublePAL",
     "DoublePALCore",
     "PALCore",
+    "PPO",
+    "PPOCore",
+    "REINFORCE",
+    "ReinforceCore",
     "SACCore",
     "SoftActorCritic",
     "TD3",
     "TD3Core",
+    "TRPO",
+    "TRPOCore",
 ]

@@ -1,0 +1,124 @@
+"""Recurrent DQN (DRQN-style).
+
+Reference parity: the recurrent mode of pfrl/agents/dqn.py:367-386 (episodic
+replay + packed sequences + stored recurrent state) and the Recurrent
+protocol (pfrl/nn/recurrent.py). TPU-native form: padded episodes from the
+episodic device buffer, one ``lax.scan`` unroll per update for the online
+and target nets (static shapes, masked loss — SURVEY.md §7 part (f)).
+Act-time carry threads through the runner as explicit state.
+
+Episodes are stored from their first step, so the zero initial carry used
+at update time is exact (the reference instead snapshots mid-episode
+carries because it replays subsequences; our subsequences always start at
+t=0, truncated at max_episode_len).
+"""
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pfrl_tpu.agents.dqn import DQNCore, DQNState, _identity
+from pfrl_tpu.ops.value_loss import huber_loss
+from pfrl_tpu.replay.episodic import EpisodeBatch
+from pfrl_tpu.utils.pytree import tree_where
+
+
+class RecurrentDQNCore(DQNCore):
+    """model: ``apply(params, x[B,...], carry) -> (ActionValue, carry)`` with
+    ``initial_carry(batch_size)`` (pfrl_tpu.models.recurrent protocol)."""
+
+    recurrent = True
+
+    def init(self, rng, example_obs, example_action=None) -> DQNState:
+        del example_action
+        rng_p, rng_n = jax.random.split(rng)
+        x = self.phi(example_obs)
+        batch = jax.tree.leaves(x)[0].shape[0]
+        carry = self.initial_carry(batch)
+        params = self.model.init({"params": rng_p, "noise": rng_n}, x, carry)
+        return DQNState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            n_updates=jnp.zeros((), jnp.int32),
+        )
+
+    def initial_carry(self, batch_size: int):
+        return self.model.initial_carry(batch_size)
+
+    def init_act_state(self, batch_size: int):
+        return self.initial_carry(batch_size)
+
+    # ------------------------------------------------------------------- act
+    def select_action_recurrent(
+        self, state: DQNState, rng, obs, t, training: bool, carry
+    ):
+        rng_noise, rng_explore = jax.random.split(rng)
+        av, new_carry = self.model.apply(
+            state.params, self.phi(obs), carry, rngs={"noise": rng_noise}
+        )
+        greedy = av.greedy_actions()
+        if not training:
+            return greedy, new_carry
+        return self.explorer.select_action(rng_explore, t, greedy, av), new_carry
+
+    def reset_act_state(self, carry, done):
+        """Zero carry rows whose episode just ended."""
+        zero = jax.tree.map(jnp.zeros_like, carry)
+        return tree_where(done, zero, carry)
+
+    # ---------------------------------------------------------------- update
+    def _unroll(self, params, rng, obs_seq, B):
+        """obs_seq: [B, T, ...] -> stacked ActionValue over [T] (time-major scan)."""
+        xs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seq)  # [T, B, ...]
+        carry0 = self.initial_carry(B)
+
+        def body(carry, x):
+            av, carry = self.model.apply(
+                params, self.phi(x), carry, rngs={"noise": rng}
+            )
+            return carry, av
+
+        _, avs = jax.lax.scan(body, carry0, xs)
+        return avs  # ActionValue pytree with leaves [T, B, ...]
+
+    def update_episodic(self, state: DQNState, rng, batch: EpisodeBatch):
+        tr = batch.transitions
+        B, T = batch.mask.shape
+
+        def loss_fn(params):
+            rng_on, rng_tgt = jax.random.split(rng)
+            avs = self._unroll(params, rng_on, tr.obs, B)           # [T,B,A]
+            tgt_avs = self._unroll(state.target_params, rng_tgt, tr.next_obs, B)
+            q = avs.evaluate_actions(jnp.swapaxes(tr.action, 0, 1))  # [T,B]
+            max_next = jax.lax.stop_gradient(tgt_avs.max())          # [T,B]
+            r = jnp.swapaxes(tr.reward, 0, 1)
+            term = jnp.swapaxes(tr.terminated, 0, 1).astype(jnp.float32)
+            target = r + self.gamma * (1.0 - term) * max_next
+            diff = q - jax.lax.stop_gradient(target)
+            per = huber_loss(diff) if self.clip_delta else 0.5 * diff * diff
+            m = jnp.swapaxes(batch.mask, 0, 1)
+            if self.batch_accumulator == "mean":
+                loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+            else:
+                loss = jnp.sum(per * m) / B
+            return loss, jnp.mean(q * m)
+
+        (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, n_updates=state.n_updates + 1
+        )
+        return new_state, {
+            "loss": loss,
+            "average_q": q_mean,
+            "errors": jnp.zeros((1,)),
+        }

@@ -6,6 +6,7 @@ the whole actor-learner loop can run under one jit.
 """
 
 from pfrl_tpu.envs.abc import ABC
+from pfrl_tpu.envs.atari_sim import AtariSim
 from pfrl_tpu.envs.cartpole import CartPole
 from pfrl_tpu.envs.mountain_car import MountainCarContinuous
 from pfrl_tpu.envs.pendulum import Pendulum
@@ -17,6 +18,7 @@ from pfrl_tpu.envs.wrappers import TimeLimit
 
 __all__ = [
     "ABC",
+    "AtariSim",
     "HostJaxEnv",
     "CartPole",
     "MountainCarContinuous",

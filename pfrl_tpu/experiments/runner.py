@@ -64,6 +64,7 @@ class RunnerState:
     # Host-visible episodic stats (ring of recent completed returns):
     recent_returns: jax.Array    # [window]
     recent_count: jax.Array
+    act_state: Any = ()          # recurrent carry for carry-ful cores
 
 
 class OffPolicyRunner:
@@ -76,16 +77,70 @@ class OffPolicyRunner:
         buffer,
         config: RunnerConfig,
         return_window: int = 256,
+        mesh=None,
+        data_axis: str = "dp",
     ):
+        """``mesh``: optional jax.sharding.Mesh. With a mesh, env lanes and
+        the replay ring shard over ``data_axis`` while agent params stay
+        replicated — the SPMD replacement for the reference's process-pool
+        env parallelism + shared-memory learners (SURVEY.md §2.6). Grad
+        all-reduce is inserted by XLA from the sharded-batch/replicated-
+        params contraction; collectives ride ICI.
+        """
         self.env = VectorJaxEnv(env, config.num_envs)
         self.core = core
         self.buffer = buffer
         self.config = config
         self.return_window = return_window
+        self.mesh = mesh
+        self.data_axis = data_axis
         assert buffer.num_lanes == config.num_envs, (
             "buffer num_lanes must equal runner num_envs"
         )
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            assert config.num_envs % n_dev == 0, (
+                f"num_envs {config.num_envs} must divide over {n_dev} devices"
+            )
         self._jit_chunk = None
+
+    def _state_shardings(self, state: "RunnerState"):
+        """NamedShardings for a RunnerState: env lanes and the replay ring
+        shard over the data axis (their leading dims are lane-major);
+        params, trees, and scalars replicate."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        lane_sharded = NamedSharding(mesh, P(self.data_axis))
+        replicated = NamedSharding(mesh, P())
+
+        def all_lane(tree):
+            return jax.tree.map(lambda _: lane_sharded, tree)
+
+        def all_rep(tree):
+            return jax.tree.map(lambda _: replicated, tree)
+
+        replay = state.replay_state
+        # Storage rows shard; cursor/trees/scalars replicate.
+        replay_spec = jax.tree.map(lambda _: replicated, replay)
+        replay_spec = replay_spec.replace(
+            **(
+                {"base": replay_spec.base.replace(storage=all_lane(replay.base.storage))}
+                if hasattr(replay, "base")
+                else {"storage": all_lane(replay.storage)}
+            )
+        )
+        return RunnerState(
+            env_states=all_lane(state.env_states),
+            obs=all_lane(state.obs),
+            train_state=all_rep(state.train_state),
+            replay_state=replay_spec,
+            rng=replicated,
+            t=replicated,
+            episode_return=lane_sharded,
+            recent_returns=replicated,
+            recent_count=replicated,
+        )
 
     # ----------------------------------------------------------------- init
     def init(self, rng: jax.Array) -> RunnerState:
@@ -105,7 +160,7 @@ class OffPolicyRunner:
             extras=FrozenDict(),
         )
         replay_state = self.buffer.init(example)
-        return RunnerState(
+        state = RunnerState(
             env_states=env_states,
             obs=obs,
             train_state=train_state,
@@ -116,6 +171,13 @@ class OffPolicyRunner:
             recent_returns=jnp.zeros((self.return_window,), jnp.float32),
             recent_count=jnp.zeros((), jnp.int32),
         )
+        if hasattr(self.core, "init_act_state"):
+            state = state.replace(
+                act_state=self.core.init_act_state(self.config.num_envs)
+            )
+        if self.mesh is not None:
+            state = jax.device_put(state, self._state_shardings(state))
+        return state
 
     def _example_action(self):
         space = self.env.action_space
@@ -128,11 +190,20 @@ class OffPolicyRunner:
         cfg = self.config
         rng, rng_act, rng_env, rng_upd = jax.random.split(state.rng, 4)
 
-        actions = self.core.select_action(
-            state.train_state, rng_act, state.obs, state.t, True
-        )
+        if hasattr(self.core, "select_action_recurrent"):
+            actions, act_state = self.core.select_action_recurrent(
+                state.train_state, rng_act, state.obs, state.t, True,
+                state.act_state,
+            )
+        else:
+            actions = self.core.select_action(
+                state.train_state, rng_act, state.obs, state.t, True
+            )
+            act_state = state.act_state
         env_states, vec = self.env.step(rng_env, state.env_states, actions)
         ts = vec.ts
+        if hasattr(self.core, "reset_act_state"):
+            act_state = self.core.reset_act_state(act_state, ts.done)
 
         transition = Transition(
             obs=state.obs,
@@ -189,17 +260,28 @@ class OffPolicyRunner:
             episode_return=ep_ret,
             recent_returns=recent,
             recent_count=recent_count,
+            act_state=act_state,
         )
         return new_state, metrics
 
     def _maybe_update(self, train_state, replay_state, rng, t):
         cfg = self.config
 
+        episodic = hasattr(self.buffer, "sample_episodes")
+
         def do_updates(args):
             train_state, replay_state, rng = args
             def body(_, carry):
                 train_state, replay_state, rng, _ = carry
                 rng, rng_s, rng_u = jax.random.split(rng, 3)
+                if episodic:
+                    batch = self.buffer.sample_episodes(
+                        replay_state, rng_s, cfg.minibatch_size
+                    )
+                    train_state, aux = self.core.update_episodic(
+                        train_state, rng_u, batch
+                    )
+                    return (train_state, replay_state, rng, aux["loss"])
                 out = self.buffer.sample(replay_state, rng_s, cfg.minibatch_size)
                 if isinstance(out, tuple):
                     batch, replay_state = out
@@ -234,7 +316,18 @@ class OffPolicyRunner:
         if self._jit_chunk is None:
             def chunk(state, length):
                 return jax.lax.scan(self._one_step, state, None, length=length)
-            self._jit_chunk = jax.jit(chunk, static_argnames=("length",))
+
+            if self.mesh is None:
+                self._jit_chunk = jax.jit(chunk, static_argnames=("length",))
+            else:
+                shardings = self._state_shardings(state)
+                jitted = jax.jit(
+                    chunk,
+                    static_argnums=(1,),
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, None),
+                )
+                self._jit_chunk = lambda s, length: jitted(s, length)
         state, metrics = self._jit_chunk(state, length=num_steps)
         return state, metrics
 

@@ -56,8 +56,15 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         num_steps: int = 1,
         gamma: float = 0.99,
         num_lanes: int = 1,
+        store_next_obs: bool = True,
     ):
-        super().__init__(capacity, num_steps=num_steps, gamma=gamma, num_lanes=num_lanes)
+        super().__init__(
+            capacity,
+            num_steps=num_steps,
+            gamma=gamma,
+            num_lanes=num_lanes,
+            store_next_obs=store_next_obs,
+        )
         if normalize_by_max is True:
             normalize_by_max = "batch"
         assert normalize_by_max in (False, "batch", "memory")
@@ -83,6 +90,7 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             num_steps=self.num_steps,
             gamma=self.gamma,
             num_lanes=num_lanes,
+            store_next_obs=self.store_next_obs,
         )
 
     # ------------------------------------------------------------------ init
@@ -101,7 +109,9 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         new_base = super().add(state.base, batch)
         written = (state.base.cursor + jnp.arange(lanes, dtype=jnp.int32)) % self.capacity
 
-        hold = (self.num_steps - 1) * self.num_lanes
+        hold = (
+            self.num_steps - 1 + (0 if self.store_next_obs else 1)
+        ) * self.num_lanes
         tree, min_tree = state.tree, state.min_tree
         if hold == 0:
             tree = sum_tree.update(

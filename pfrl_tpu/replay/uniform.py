@@ -50,12 +50,22 @@ class ReplayBuffer:
         num_steps: int = 1,
         gamma: float = 0.99,
         num_lanes: int = 1,
+        store_next_obs: bool = True,
     ):
-        assert capacity >= num_lanes * num_steps
+        """``store_next_obs=False`` halves observation memory: the bootstrap
+        observation is read from the temporally-next ring slot instead of a
+        stored copy (the classic single-frame Atari layout). Exact for
+        terminated episodes (the bootstrap term is masked anyway); at
+        truncation boundaries the reset observation stands in for the true
+        next observation — enable full storage where truncation bootstrap
+        fidelity matters (MuJoCo-style continuing tasks).
+        """
+        assert capacity >= num_lanes * (num_steps + (0 if store_next_obs else 1))
         self.num_lanes = num_lanes
         self.capacity = (capacity // num_lanes) * num_lanes
         self.num_steps = num_steps
         self.gamma = gamma
+        self.store_next_obs = store_next_obs
 
     def configure_lanes(self, num_lanes: int) -> "ReplayBuffer":
         """Return a copy reconfigured for a different env-batch width.
@@ -69,11 +79,16 @@ class ReplayBuffer:
             num_steps=self.num_steps,
             gamma=self.gamma,
             num_lanes=num_lanes,
+            store_next_obs=self.store_next_obs,
         )
 
     # ------------------------------------------------------------------ init
     def init(self, example: Transition) -> ReplayState:
         """Allocate storage from a single example transition (no batch dim)."""
+        if not self.store_next_obs:
+            example = example.replace(
+                next_obs=jax.tree.map(lambda x: jnp.zeros((0,)), example.next_obs)
+            )
         storage = jax.tree.map(
             lambda x: jnp.zeros((self.capacity,) + jnp.shape(x), jnp.result_type(x)),
             example,
@@ -83,6 +98,12 @@ class ReplayBuffer:
     # ------------------------------------------------------------------- add
     def add(self, state: ReplayState, batch: Transition) -> ReplayState:
         """Insert ``num_lanes`` transitions (one per env lane)."""
+        if not self.store_next_obs:
+            batch = batch.replace(
+                next_obs=jax.tree.map(
+                    lambda x: jnp.zeros((x.shape[0], 0)), batch.next_obs
+                )
+            )
         lanes = jax.tree.leaves(batch)[0].shape[0]
         idx = (state.cursor + jnp.arange(lanes, dtype=jnp.int32)) % self.capacity
         storage = jax.tree.map(
@@ -92,9 +113,14 @@ class ReplayBuffer:
 
     # ----------------------------------------------------------------- sample
     def _sampleable_range(self, state: ReplayState):
-        """Monotonic id range [lo, hi) of n-step-window-complete items."""
+        """Monotonic id range [lo, hi) of n-step-window-complete items.
+
+        Without stored next_obs, one extra stride is held out so the
+        bootstrap slot (window end + 1) is always written.
+        """
+        extra = 0 if self.store_next_obs else 1
         lo = jnp.maximum(0, state.cursor - self.capacity)
-        hi = state.cursor - (self.num_steps - 1) * self.num_lanes
+        hi = state.cursor - (self.num_steps - 1 + extra) * self.num_lanes
         return lo, hi
 
     def sample_indices(
@@ -131,7 +157,11 @@ class ReplayBuffer:
         last = win[jnp.arange(win.shape[0]), k - 1]
 
         obs = jax.tree.map(lambda x: x[first], st.obs)
-        next_obs = jax.tree.map(lambda x: x[last], st.next_obs)
+        if self.store_next_obs:
+            next_obs = jax.tree.map(lambda x: x[last], st.next_obs)
+        else:
+            nxt = (last + stride) % self.capacity
+            next_obs = jax.tree.map(lambda x: x[nxt], st.obs)
         extras = jax.tree.map(lambda x: x[first], st.extras)
         return TransitionBatch(
             obs=obs,

@@ -1,0 +1,123 @@
+"""PPO / A2C / TRPO / REINFORCE integration tests via the host batch driver
+on ABC (mirrors tests/agents_tests/test_ppo.py etc.)."""
+
+import flax.linen as nn
+import numpy as np
+import optax
+import pytest
+
+import jax.numpy as jnp
+
+from pfrl_tpu.agents.a2c import A2C
+from pfrl_tpu.agents.ppo import PPO
+from pfrl_tpu.agents.reinforce import REINFORCE
+from pfrl_tpu.agents.trpo import TRPO
+from pfrl_tpu.envs import ABC, HostJaxEnv, SerialVectorEnv
+from pfrl_tpu.experiments import train_agent_batch_with_evaluation
+from pfrl_tpu.models import MLP
+from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+
+class PiV(nn.Module):
+    n_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.tanh(nn.Dense(32)(x))
+        logits = nn.Dense(self.n_actions)(h)
+        value = nn.Dense(1)(h)
+        return SoftmaxCategoricalHead()(logits), value
+
+
+class Pi(nn.Module):
+    n_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.tanh(nn.Dense(32)(x))
+        return SoftmaxCategoricalHead()(nn.Dense(self.n_actions)(h))
+
+
+def _vec_env(n=4, seed=0):
+    return SerialVectorEnv(
+        [HostJaxEnv(ABC(size=2, deterministic=True), seed=seed + i) for i in range(n)]
+    )
+
+
+def _train(agent, steps=6000, n=4, tmp_path=None):
+    env = _vec_env(n)
+    eval_env = _vec_env(n, seed=100)
+    agent, history = train_agent_batch_with_evaluation(
+        agent,
+        env,
+        steps=steps,
+        eval_n_steps=None,
+        eval_n_episodes=8,
+        eval_interval=2000,
+        outdir=str(tmp_path),
+        successful_score=1.0,
+        eval_env=eval_env,
+    )
+    assert history, "no evaluations ran"
+    return history[-1]["eval_score"]
+
+
+def test_ppo_learns_abc(tmp_path):
+    agent = PPO(
+        PiV(n_actions=2),
+        optax.adam(5e-3),
+        gamma=0.9,
+        update_interval=256,
+        minibatch_size=64,
+        epochs=4,
+    )
+    assert _train(agent, tmp_path=tmp_path) == 1.0
+
+
+def test_a2c_learns_abc(tmp_path):
+    agent = A2C(
+        PiV(n_actions=2),
+        optax.adam(5e-3),
+        gamma=0.9,
+        num_processes=4,
+        update_steps=8,
+    )
+    assert _train(agent, steps=12000, tmp_path=tmp_path) == 1.0
+
+
+def test_trpo_learns_abc(tmp_path):
+    agent = TRPO(
+        Pi(n_actions=2),
+        MLP(out_size=1, hidden_sizes=(32,)),
+        optax.adam(5e-3),
+        gamma=0.9,
+        update_interval=256,
+        max_kl=0.05,
+    )
+    assert _train(agent, steps=8000, tmp_path=tmp_path) == 1.0
+
+
+def test_reinforce_learns_abc(tmp_path):
+    from pfrl_tpu.experiments import train_agent_with_evaluation
+
+    agent = REINFORCE(
+        Pi(n_actions=2),
+        optax.adam(5e-3),
+        gamma=0.9,
+        batchsize=8,
+        max_episode_len=8,
+    )
+    env = HostJaxEnv(ABC(size=2, deterministic=True), seed=1)
+    eval_env = HostJaxEnv(ABC(size=2, deterministic=True), seed=2)
+    agent, history = train_agent_with_evaluation(
+        agent,
+        env,
+        steps=4000,
+        eval_n_steps=None,
+        eval_n_episodes=8,
+        eval_interval=1000,
+        outdir="/tmp/reinforce_test",
+        successful_score=1.0,
+        eval_env=eval_env,
+    )
+    assert history and history[-1]["eval_score"] == 1.0
