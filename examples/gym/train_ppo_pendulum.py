@@ -19,17 +19,26 @@ from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
 
 
 class PiV(nn.Module):
+    """Independent pi/V towers — matching the reference reproduction's
+    Branched(policy, vf) (no shared torso: the value loss's scale would
+    swamp the policy gradient through shared layers)."""
+
     action_size: int = 1
 
     @nn.compact
     def __call__(self, x):
-        h = nn.tanh(nn.Dense(64)(x))
-        h = nn.tanh(nn.Dense(64)(h))
-        mean = nn.Dense(self.action_size)(h)
+        hp = nn.tanh(nn.Dense(64)(x))
+        hp = nn.tanh(nn.Dense(64)(hp))
+        mean = nn.Dense(
+            self.action_size, kernel_init=nn.initializers.variance_scaling(
+                1e-4, "fan_in", "normal")
+        )(hp)
         dist = GaussianHeadWithStateIndependentCovariance(
             action_size=self.action_size
         )(mean)
-        value = nn.Dense(1)(h)
+        hv = nn.tanh(nn.Dense(64)(x))
+        hv = nn.tanh(nn.Dense(64)(hv))
+        value = nn.Dense(1)(hv)
         return dist, value
 
 

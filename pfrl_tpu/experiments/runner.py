@@ -150,6 +150,21 @@ class OffPolicyRunner:
             [self._example_action()] * self.config.num_envs
         )
         train_state = self.core.init(rng_core, obs, example_actions)
+        example_extras = FrozenDict()
+        if hasattr(self.core, "select_action_with_extras"):
+            _, ex = jax.eval_shape(
+                lambda ts, r, o: self.core.select_action_with_extras(
+                    ts, r, o, jnp.zeros((), jnp.int32), True
+                ),
+                train_state,
+                jax.random.PRNGKey(0),
+                obs,
+            )
+            example_extras = FrozenDict(
+                jax.tree.map(
+                    lambda s: jnp.zeros(s.shape[1:], s.dtype), dict(ex)
+                )
+            )
         example = Transition(
             obs=jax.tree.map(lambda x: x[0], obs),
             action=self._example_action(),
@@ -157,7 +172,7 @@ class OffPolicyRunner:
             next_obs=jax.tree.map(lambda x: x[0], obs),
             terminated=jnp.zeros((), bool),
             done=jnp.zeros((), bool),
-            extras=FrozenDict(),
+            extras=example_extras,
         )
         replay_state = self.buffer.init(example)
         state = RunnerState(
@@ -190,11 +205,18 @@ class OffPolicyRunner:
         cfg = self.config
         rng, rng_act, rng_env, rng_upd = jax.random.split(state.rng, 4)
 
+        extras = FrozenDict()
         if hasattr(self.core, "select_action_recurrent"):
             actions, act_state = self.core.select_action_recurrent(
                 state.train_state, rng_act, state.obs, state.t, True,
                 state.act_state,
             )
+        elif hasattr(self.core, "select_action_with_extras"):
+            actions, ex = self.core.select_action_with_extras(
+                state.train_state, rng_act, state.obs, state.t, True
+            )
+            extras = FrozenDict(ex)
+            act_state = state.act_state
         else:
             actions = self.core.select_action(
                 state.train_state, rng_act, state.obs, state.t, True
@@ -212,7 +234,7 @@ class OffPolicyRunner:
             next_obs=ts.obs,
             terminated=ts.terminated,
             done=ts.done,
-            extras=FrozenDict(),
+            extras=extras,
         )
         replay_state = self.buffer.add(state.replay_state, transition)
         t = state.t + cfg.num_envs
@@ -238,12 +260,13 @@ class OffPolicyRunner:
         )
 
         # Target sync on interval crossing (in env transitions).
-        crossed = (t // cfg.target_update_interval) != (
-            state.t // cfg.target_update_interval
-        )
-        train_state = jax.lax.cond(
-            crossed, self.core.sync_target, lambda s: s, train_state
-        )
+        if hasattr(self.core, "sync_target"):
+            crossed = (t // cfg.target_update_interval) != (
+                state.t // cfg.target_update_interval
+            )
+            train_state = jax.lax.cond(
+                crossed, self.core.sync_target, lambda s: s, train_state
+            )
 
         metrics = {
             "reward_mean": jnp.mean(ts.reward),
@@ -358,22 +381,33 @@ class JaxEvalLoop:
         rng, rng_reset = jax.random.split(rng)
         env_states, obs = self.env.reset(rng_reset)
         L = self.env.num_envs
+        recurrent = hasattr(self.core, "select_action_recurrent")
+        act_state0 = (
+            self.core.init_act_state(L) if hasattr(self.core, "init_act_state") else ()
+        )
 
         def body(carry, _):
-            env_states, obs, rng, ep_ret, final_ret, finished = carry
+            env_states, obs, rng, ep_ret, final_ret, finished, act_state = carry
             rng, rng_act, rng_env = jax.random.split(rng, 3)
-            actions = self.core.select_action(
-                train_state, rng_act, obs, jnp.zeros((), jnp.int32), False
-            )
+            if recurrent:
+                actions, act_state = self.core.select_action_recurrent(
+                    train_state, rng_act, obs, jnp.zeros((), jnp.int32), False,
+                    act_state,
+                )
+            else:
+                actions = self.core.select_action(
+                    train_state, rng_act, obs, jnp.zeros((), jnp.int32), False
+                )
             env_states, vec = self.env.step(rng_env, env_states, actions)
+            if hasattr(self.core, "reset_act_state"):
+                act_state = self.core.reset_act_state(act_state, vec.ts.done)
             ep_ret = ep_ret + vec.ts.reward * (~finished)
             newly = vec.ts.done & (~finished)
             final_ret = jnp.where(newly, ep_ret, final_ret)
             finished = finished | vec.ts.done
-            return (env_states, obs_next(vec), rng, ep_ret, final_ret, finished), None
-
-        def obs_next(vec):
-            return vec.obs
+            return (
+                env_states, vec.obs, rng, ep_ret, final_ret, finished, act_state
+            ), None
 
         init = (
             env_states,
@@ -382,8 +416,9 @@ class JaxEvalLoop:
             jnp.zeros((L,), jnp.float32),
             jnp.zeros((L,), jnp.float32),
             jnp.zeros((L,), bool),
+            act_state0,
         )
-        (env_states, obs, rng, ep_ret, final_ret, finished), _ = jax.lax.scan(
+        (env_states, obs, rng, ep_ret, final_ret, finished, _), _ = jax.lax.scan(
             body, init, None, length=self.max_steps
         )
         # Lanes that never finished contribute their partial return.

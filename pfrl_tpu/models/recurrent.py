@@ -24,6 +24,7 @@ class LSTMCellModule(nn.Module):
 
     features: int
 
+    @nn.nowrap
     def initial_carry(self, batch_size: int) -> Any:
         shape = (batch_size, self.features)
         return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
@@ -40,6 +41,7 @@ class GRUCellModule(nn.Module):
 
     features: int
 
+    @nn.nowrap
     def initial_carry(self, batch_size: int) -> Any:
         return jnp.zeros((batch_size, self.features), jnp.float32)
 
@@ -64,6 +66,7 @@ class RecurrentSequential(nn.Module):
 
     layers: Sequence[Any]
 
+    @nn.nowrap
     def initial_carry(self, batch_size: int) -> Tuple:
         return tuple(
             layer.initial_carry(batch_size)

@@ -1,0 +1,58 @@
+"""ACER integration test (mirrors tests/agents_tests/test_acer.py)."""
+
+import flax.linen as nn
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pfrl_tpu.action_value import DiscreteActionValue
+from pfrl_tpu.agents.acer import ACERCore
+from pfrl_tpu.distributions import Categorical
+from pfrl_tpu.envs import ABC
+from pfrl_tpu.experiments.runner import (
+    JaxEvalLoop,
+    OffPolicyRunner,
+    RunnerConfig,
+)
+from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+
+class PiQ(nn.Module):
+    n_actions: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(32)(x))
+        logits = nn.Dense(self.n_actions)(h)
+        q = nn.Dense(self.n_actions)(h)
+        return Categorical(logits=logits), DiscreteActionValue(q_values=q)
+
+
+@pytest.mark.parametrize("trust_region", [True, False])
+def test_acer_learns_abc(trust_region):
+    env = ABC(size=2, episodic=True, deterministic=True)
+    core = ACERCore(
+        model=PiQ(),
+        optimizer=optax.adam(5e-3),
+        gamma=0.9,
+        beta=1e-2,
+        use_trust_region=trust_region,
+    )
+    cfg = RunnerConfig(
+        num_envs=16,
+        replay_start_size=128,
+        update_interval=16,
+        target_update_interval=10**9,  # ACER has no target net
+        minibatch_size=16,
+    )
+    buffer = EpisodicReplayBuffer(max_episodes=512, max_episode_len=4, num_lanes=16)
+    runner = OffPolicyRunner(env, core, buffer, cfg)
+    state = runner.init(jax.random.PRNGKey(0))
+    state, _ = runner.run_chunk(state, 500)
+
+    evaluator = JaxEvalLoop(env, core, num_episodes=5, max_steps=4)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+    assert np.all(returns >= 1.0), returns
