@@ -16,6 +16,8 @@ Reference parity targets: pfrl/agent.py, pfrl/env.py, pfrl/action_value.py.
 from pfrl_tpu import action_value  # noqa: F401
 from pfrl_tpu import agent  # noqa: F401
 from pfrl_tpu import agents  # noqa: F401
+from pfrl_tpu import collections_  # noqa: F401
+from pfrl_tpu import collections_ as collections  # noqa: F401  (pfrl name)
 from pfrl_tpu import distributions  # noqa: F401
 from pfrl_tpu import env  # noqa: F401
 from pfrl_tpu import envs  # noqa: F401

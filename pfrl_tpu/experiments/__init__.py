@@ -1,5 +1,9 @@
 """Training drivers and experiment infrastructure (reference parity: pfrl/experiments/)."""
 
+from pfrl_tpu.experiments.evaluation_hooks import (
+    EvaluationHook,
+    OptunaPrunerHook,
+)
 from pfrl_tpu.experiments.evaluator import (
     Evaluator,
     eval_performance,
@@ -7,6 +11,10 @@ from pfrl_tpu.experiments.evaluator import (
 )
 from pfrl_tpu.experiments.hooks import LinearInterpolationHook, StepHook
 from pfrl_tpu.experiments.prepare_output_dir import prepare_output_dir
+from pfrl_tpu.experiments.onpolicy_runner import (
+    OnPolicyRunner,
+    OnPolicyRunnerState,
+)
 from pfrl_tpu.experiments.runner import (
     JaxEvalLoop,
     OffPolicyRunner,
@@ -16,12 +24,16 @@ from pfrl_tpu.experiments.train_agent import (
     train_agent,
     train_agent_with_evaluation,
 )
+from pfrl_tpu.experiments.train_agent_async import train_agent_async
 from pfrl_tpu.experiments.train_agent_batch import (
     train_agent_batch,
     train_agent_batch_with_evaluation,
 )
 
 __all__ = [
+    "EvaluationHook",
+    "OptunaPrunerHook",
+    "train_agent_async",
     "Evaluator",
     "eval_performance",
     "run_evaluation_episodes",
@@ -30,6 +42,8 @@ __all__ = [
     "prepare_output_dir",
     "JaxEvalLoop",
     "OffPolicyRunner",
+    "OnPolicyRunner",
+    "OnPolicyRunnerState",
     "RunnerConfig",
     "train_agent",
     "train_agent_with_evaluation",

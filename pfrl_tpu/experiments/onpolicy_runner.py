@@ -1,0 +1,151 @@
+"""Fully on-device on-policy training (PPO / A2C / TRPO cores).
+
+The on-policy analog of OffPolicyRunner: one jitted function collects a
+``[T, L]`` rollout with ``lax.scan`` (act + env step fused) and immediately
+runs the core's update (PPO's whole epochs x minibatch loop is itself
+jitted), so a full PPO iteration — thousands of env transitions plus tens
+of gradient steps — is a single XLA program. This replaces the reference's
+python collection loop + GAE-per-episode + torch minibatching
+(pfrl/agents/ppo.py:260-532) at device speed.
+"""
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pfrl_tpu.agents.ppo import Rollout
+from pfrl_tpu.env import JaxEnv
+from pfrl_tpu.envs.vector_jax_env import VectorJaxEnv
+
+
+@struct.dataclass
+class OnPolicyRunnerState:
+    env_states: Any
+    obs: Any
+    train_state: Any
+    rng: jax.Array
+    t: jax.Array
+    episode_return: jax.Array
+    recent_returns: jax.Array
+    recent_count: jax.Array
+
+
+class OnPolicyRunner:
+    def __init__(
+        self,
+        env: JaxEnv,
+        core,                    # PPOCore / A2CCore / TRPOCore
+        num_envs: int,
+        rollout_len: int,
+        return_window: int = 256,
+    ):
+        self.env = VectorJaxEnv(env, num_envs)
+        self.core = core
+        self.num_envs = num_envs
+        self.rollout_len = rollout_len
+        self.return_window = return_window
+        self._jit_iteration = None
+
+    def init(self, rng: jax.Array) -> OnPolicyRunnerState:
+        rng, rng_env, rng_core = jax.random.split(rng, 3)
+        env_states, obs = self.env.reset(rng_env)
+        train_state = self.core.init(rng_core, obs)
+        return OnPolicyRunnerState(
+            env_states=env_states,
+            obs=obs,
+            train_state=train_state,
+            rng=rng,
+            t=jnp.zeros((), jnp.int32),
+            episode_return=jnp.zeros((self.num_envs,), jnp.float32),
+            recent_returns=jnp.zeros((self.return_window,), jnp.float32),
+            recent_count=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------- iteration
+    def _collect_step(self, carry, _):
+        (env_states, obs, train_state, rng, ep_ret, recent, count) = carry
+        rng, rng_act, rng_env = jax.random.split(rng, 3)
+        action, aux = self.core.act_with_aux(train_state, rng_act, obs, True)
+        env_states, vec = self.env.step(rng_env, env_states, action)
+        ts = vec.ts
+
+        ep_ret = ep_ret + ts.reward
+        finished = ts.done
+        n_fin = jnp.sum(finished.astype(jnp.int32))
+        order = jnp.argsort(~finished)
+        pos = (count + jnp.arange(self.num_envs, dtype=jnp.int32)) % self.return_window
+        write_pos = jnp.where(finished[order], pos, self.return_window)
+        recent = recent.at[write_pos].set(ep_ret[order], mode="drop")
+        count = count + n_fin
+        ep_ret = jnp.where(finished, 0.0, ep_ret)
+
+        step_data = (
+            obs,
+            action,
+            aux["log_prob"],
+            aux["value"],
+            ts.reward,
+            ts.terminated,
+            ts.done,
+            ts.obs,
+        )
+        return (env_states, vec.obs, train_state, rng, ep_ret, recent, count), step_data
+
+    def _iteration(self, state: OnPolicyRunnerState):
+        carry = (
+            state.env_states,
+            state.obs,
+            state.train_state,
+            state.rng,
+            state.episode_return,
+            state.recent_returns,
+            state.recent_count,
+        )
+        carry, steps = jax.lax.scan(
+            self._collect_step, carry, None, length=self.rollout_len
+        )
+        (env_states, obs, train_state, rng, ep_ret, recent, count) = carry
+        rollout = Rollout(
+            obs=steps[0],
+            action=steps[1],
+            log_prob=steps[2],
+            value=steps[3],
+            reward=steps[4],
+            terminated=steps[5],
+            done=steps[6],
+            next_obs=steps[7],
+        )
+        rng, rng_upd = jax.random.split(rng)
+        train_state, aux = self.core.update(train_state, rng_upd, rollout)
+        new_state = OnPolicyRunnerState(
+            env_states=env_states,
+            obs=obs,
+            train_state=train_state,
+            rng=rng,
+            t=state.t + self.rollout_len * self.num_envs,
+            episode_return=ep_ret,
+            recent_returns=recent,
+            recent_count=count,
+        )
+        return new_state, aux
+
+    def run_iterations(self, state: OnPolicyRunnerState, n: int):
+        """Run n collect+update iterations under one jit (scan over n)."""
+        if self._jit_iteration is None:
+            def multi(state, n_iter):
+                def body(s, _):
+                    return self._iteration(s)
+                return jax.lax.scan(body, state, None, length=n_iter)
+            self._jit_iteration = jax.jit(multi, static_argnums=(1,))
+        return self._jit_iteration(state, n)
+
+    def recent_return_mean(self, state) -> float:
+        n = int(np.minimum(int(state.recent_count), self.return_window))
+        if n == 0:
+            return float("nan")
+        if int(state.recent_count) < self.return_window:
+            return float(np.asarray(state.recent_returns)[:n].mean())
+        return float(np.asarray(state.recent_returns).mean())

@@ -40,6 +40,10 @@ class EpisodeBatch:
 
 
 class EpisodicReplayBuffer:
+    """See module docstring. Subclassed by PrioritizedEpisodicReplayBuffer
+    (per-episode priorities) and PersistentEpisodicReplayBuffer (disk
+    snapshots)."""
+
     def __init__(
         self,
         max_episodes: int,

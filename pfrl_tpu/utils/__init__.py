@@ -1,6 +1,7 @@
 """Shared utilities (reference parity: pfrl/utils/)."""
 
 from pfrl_tpu.utils.batch_states import batch_states
+from pfrl_tpu.utils.clip_l2_grad_norm import clip_l2_grad_norm
 from pfrl_tpu.utils.conjugate_gradient import conjugate_gradient
 from pfrl_tpu.utils.copy_param import (
     copy_param,
@@ -22,6 +23,7 @@ from pfrl_tpu.utils.stats import RunningStats
 
 __all__ = [
     "batch_states",
+    "clip_l2_grad_norm",
     "conjugate_gradient",
     "copy_param",
     "soft_copy_param",

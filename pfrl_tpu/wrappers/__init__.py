@@ -6,6 +6,7 @@ pfrl_tpu/envs/wrappers.py instead. Atari wrappers live in
 ``atari_wrappers`` and gate their cv2 dependency at call time.
 """
 
+from pfrl_tpu.wrappers import atari_wrappers
 from pfrl_tpu.wrappers.continuing_time_limit import ContinuingTimeLimit
 from pfrl_tpu.wrappers.misc import (
     CastObservationToFloat32,
@@ -13,13 +14,18 @@ from pfrl_tpu.wrappers.misc import (
     RandomizeAction,
     ScaleReward,
 )
-from pfrl_tpu.wrappers.vector_frame_stack import VectorFrameStack
+from pfrl_tpu.wrappers.monitor import Monitor, Render
+from pfrl_tpu.wrappers.vector_frame_stack import LazyFrames, VectorFrameStack
 
 __all__ = [
+    "atari_wrappers",
     "ContinuingTimeLimit",
     "CastObservationToFloat32",
     "NormalizeActionSpace",
     "RandomizeAction",
     "ScaleReward",
+    "Monitor",
+    "Render",
+    "LazyFrames",
     "VectorFrameStack",
 ]
