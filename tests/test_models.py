@@ -1,0 +1,134 @@
+"""Model substrate tests (mirrors tests/nn_tests)."""
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pfrl_tpu.models import (
+    MLP,
+    Branched,
+    EmpiricalNormalization,
+    FactorizedNoisyDense,
+    LargeAtariCNN,
+    SmallAtariCNN,
+)
+from pfrl_tpu.models.recurrent import (
+    GRUCellModule,
+    LSTMCellModule,
+    RecurrentSequential,
+)
+from pfrl_tpu.utils.recurrent import unroll
+
+
+class TestAtariCNN:
+    @pytest.mark.parametrize("cls,out", [(LargeAtariCNN, 512), (SmallAtariCNN, 256)])
+    def test_output_shape(self, cls, out, rng):
+        model = cls()
+        x = jnp.zeros((3, 84, 84, 4))
+        params = model.init(rng, x)
+        y = model.apply(params, x)
+        assert y.shape == (3, out)
+        assert bool(jnp.all(y >= 0))  # relu output
+
+
+class TestNoisyDense:
+    def test_noise_changes_output(self, rng):
+        model = FactorizedNoisyDense(8)
+        x = jnp.ones((2, 4))
+        params = model.init({"params": rng, "noise": rng}, x)
+        y1 = model.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+        y2 = model.apply(params, x, rngs={"noise": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    def test_deterministic_mode(self, rng):
+        model = FactorizedNoisyDense(8)
+        x = jnp.ones((2, 4))
+        params = model.init({"params": rng, "noise": rng}, x)
+        y1 = model.apply(params, x, True, rngs={"noise": jax.random.PRNGKey(1)})
+        y2 = model.apply(params, x, True, rngs={"noise": jax.random.PRNGKey(2)})
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_noise_scale_reasonable(self, rng):
+        """Mean output magnitude should be moderate (reference
+        tests/nn_tests/test_noisy_linear.py checks |y| < 100)."""
+        model = FactorizedNoisyDense(64)
+        x = jnp.ones((16, 32))
+        params = model.init({"params": rng, "noise": rng}, x)
+        y = model.apply(params, x, rngs={"noise": jax.random.PRNGKey(3)})
+        assert float(jnp.abs(y).mean()) < 10.0
+
+
+class TestEmpiricalNormalization:
+    def test_converges_to_true_stats(self, np_random):
+        norm = EmpiricalNormalization((3,))
+        state = norm.init()
+        data = (np_random.randn(1000, 3) * np.array([1.0, 2.0, 0.5]) + 7.0).astype(
+            np.float32
+        )
+        for i in range(0, 1000, 100):
+            state = norm.update(state, jnp.asarray(data[i : i + 100]))
+        np.testing.assert_allclose(np.asarray(state.mean), data.mean(0), rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sqrt(state.var)), data.std(0), rtol=1e-2
+        )
+        out = norm.normalize(state, jnp.asarray(data))
+        assert abs(float(out.mean())) < 0.1
+        back = norm.inverse(state, out)
+        np.testing.assert_allclose(np.asarray(back), data, rtol=1e-2, atol=1e-3)
+
+    def test_until_freezes(self, np_random):
+        norm = EmpiricalNormalization((2,), until=50)
+        state = norm.init()
+        state = norm.update(state, jnp.asarray(np_random.randn(50, 2).astype(np.float32)))
+        frozen_mean = np.asarray(state.mean).copy()
+        state = norm.update(
+            state, jnp.asarray((np_random.randn(100, 2) + 100).astype(np.float32))
+        )
+        np.testing.assert_array_equal(np.asarray(state.mean), frozen_mean)
+
+
+class TestRecurrent:
+    def test_unroll_with_resets(self, rng):
+        model = RecurrentSequential(
+            layers=(nn.Dense(8), nn.relu, LSTMCellModule(8))
+        )
+        carry = model.initial_carry(2)
+        x = jnp.ones((2, 4))
+        params = model.init(rng, x, carry)
+
+        apply_fn = lambda p, x, c: model.apply(p, x, c)
+        xs = jnp.ones((5, 2, 4))
+        resets = jnp.zeros((5, 2), bool)
+        ys, final = unroll(apply_fn, params, xs, carry, resets)
+        assert ys.shape == (5, 2, 8)
+
+        # Resetting at every step == single-step outputs everywhere.
+        ys_reset, _ = unroll(
+            apply_fn, params, xs, carry, jnp.ones((5, 2), bool)
+        )
+        one, _ = model.apply(params, x, carry)
+        np.testing.assert_allclose(
+            np.asarray(ys_reset[3]), np.asarray(one), rtol=1e-5
+        )
+        # Without resets, state accumulates (outputs differ over time).
+        assert not np.allclose(np.asarray(ys[0]), np.asarray(ys[4]))
+
+    def test_gru_module(self, rng):
+        m = GRUCellModule(6)
+        c = m.initial_carry(3)
+        x = jnp.ones((3, 4))
+        params = m.init(rng, x, c)
+        y, c2 = m.apply(params, x, c)
+        assert y.shape == (3, 6)
+
+
+class TestBranched:
+    def test_tuple_output(self, rng):
+        m = Branched(branches=(nn.Dense(3), nn.Dense(5)))
+        x = jnp.ones((2, 4))
+        params = m.init(rng, x)
+        a, b = m.apply(params, x)
+        assert a.shape == (2, 3) and b.shape == (2, 5)
