@@ -186,7 +186,9 @@ class Evaluator:
         outdir: str,
         max_episode_len: Optional[int] = None,
         step_offset: int = 0,
+        evaluation_hooks=(),
         save_best_so_far_agent: bool = True,
+        use_tensorboard: bool = False,
         logger=None,
     ):
         assert (n_steps is None) != (n_episodes is None)
@@ -198,12 +200,25 @@ class Evaluator:
         self.outdir = outdir
         self.max_episode_len = max_episode_len
         self.step_offset = step_offset
+        self.evaluation_hooks = evaluation_hooks
         self.save_best_so_far_agent = save_best_so_far_agent
         self.logger = logger or logging.getLogger(__name__)
         self.max_score = float("-inf")
         self.prev_eval_t = self.step_offset - self.step_offset % self.eval_interval
         self._start_time = time.time()
         self._columns_written = False
+        self.tb_writer = None
+        if use_tensorboard:
+            # Optional dependency (reference: evaluator.py:314-357); any
+            # available SummaryWriter flavor works.
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(log_dir=outdir)
+            except Exception:
+                self.logger.warning(
+                    "use_tensorboard requested but no SummaryWriter available"
+                )
 
     def _record_stats(self, t: int, episodes: int, stats: dict) -> None:
         agent_stats = self.agent.get_statistics()
@@ -238,6 +253,26 @@ class Evaluator:
         )
         mean = stats["mean"]
         self._record_stats(t, episodes, stats)
+        if self.tb_writer is not None:
+            # record_tb_stats parity (evaluator.py:336-357).
+            for key in ("mean", "median", "stdev", "max", "min"):
+                self.tb_writer.add_scalar(f"eval/{key}", stats[key], t)
+            for name, value in self.agent.get_statistics():
+                try:
+                    self.tb_writer.add_scalar(f"agent/{name}", float(value), t)
+                except (TypeError, ValueError):
+                    pass
+            self.tb_writer.flush()
+        for hook in self.evaluation_hooks:
+            hook(
+                env=self.env,
+                agent=self.agent,
+                evaluator=self,
+                step=t,
+                eval_stats=stats,
+                agent_stats=self.agent.get_statistics(),
+                env_stats=None,
+            )
         self.logger.info(
             "evaluation at step %d: mean %s median %s", t, mean, stats["median"]
         )

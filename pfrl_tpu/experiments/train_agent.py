@@ -113,7 +113,9 @@ def train_agent_with_evaluation(
     eval_env=None,
     successful_score=None,
     step_hooks=(),
+    evaluation_hooks=(),
     save_best_so_far_agent: bool = True,
+    use_tensorboard: bool = False,
     eval_during_episode: bool = False,
     logger=None,
 ):
@@ -135,7 +137,9 @@ def train_agent_with_evaluation(
         outdir=outdir,
         max_episode_len=eval_max_episode_len,
         step_offset=step_offset,
+        evaluation_hooks=evaluation_hooks,
         save_best_so_far_agent=save_best_so_far_agent,
+        use_tensorboard=use_tensorboard,
         logger=logger,
     )
 

@@ -135,7 +135,9 @@ def train_agent_batch_with_evaluation(
     log_interval=None,
     successful_score=None,
     step_hooks=(),
+    evaluation_hooks=(),
     save_best_so_far_agent: bool = True,
+    use_tensorboard: bool = False,
     logger=None,
 ):
     """Reference signature (train_agent_batch.py:157-245)."""
@@ -156,7 +158,9 @@ def train_agent_batch_with_evaluation(
         outdir=outdir,
         max_episode_len=eval_max_episode_len,
         step_offset=step_offset,
+        evaluation_hooks=evaluation_hooks,
         save_best_so_far_agent=save_best_so_far_agent,
+        use_tensorboard=use_tensorboard,
         logger=logger,
     )
 

@@ -16,7 +16,12 @@ from pfrl_tpu.models.lmbda import Lambda
 from pfrl_tpu.models.mlp import MLP, MLPBN
 from pfrl_tpu.models.noisy_linear import FactorizedNoisyDense, to_factorized_noisy
 from pfrl_tpu.models.misc import BoundByTanh, ConcatObsAndAction
-from pfrl_tpu.models.recurrent import RecurrentSequential, LSTMCellModule, GRUCellModule
+from pfrl_tpu.models.recurrent import (
+    GRUCellModule,
+    LSTMCellModule,
+    RecurrentBranched,
+    RecurrentSequential,
+)
 
 __all__ = [
     "LargeAtariCNN",
@@ -31,6 +36,7 @@ __all__ = [
     "to_factorized_noisy",
     "BoundByTanh",
     "ConcatObsAndAction",
+    "RecurrentBranched",
     "RecurrentSequential",
     "LSTMCellModule",
     "GRUCellModule",

@@ -56,6 +56,37 @@ def is_recurrent(module: Any) -> bool:
     return hasattr(module, "initial_carry")
 
 
+class RecurrentBranched(nn.Module):
+    """Parallel recurrent branches over the same input
+    (reference parity: pfrl/nn/recurrent_branched.py:6-28).
+
+    Carry is a tuple of each branch's carry; output is the tuple of branch
+    outputs.
+    """
+
+    branches: Sequence[Any]
+
+    @nn.nowrap
+    def initial_carry(self, batch_size: int) -> Tuple:
+        return tuple(
+            b.initial_carry(batch_size) if is_recurrent(b) else ()
+            for b in self.branches
+        )
+
+    @nn.compact
+    def __call__(self, x: Any, carry: Tuple) -> Tuple[Tuple, Tuple]:
+        outs = []
+        new_carries = []
+        for branch, c in zip(self.branches, carry):
+            if is_recurrent(branch):
+                y, nc = branch(x, c)
+            else:
+                y, nc = branch(x), ()
+            outs.append(y)
+            new_carries.append(nc)
+        return tuple(outs), tuple(new_carries)
+
+
 class RecurrentSequential(nn.Module):
     """Sequential container mixing stateless and recurrent layers.
 
