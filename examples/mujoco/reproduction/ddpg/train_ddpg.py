@@ -1,0 +1,94 @@
+"""DDPG MuJoCo reproduction (reference parity:
+examples/mujoco/reproduction/ddpg/train_ddpg.py). Pendulum fallback when
+gym/mujoco are absent."""
+
+import argparse
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from pfrl_tpu import experiments, explorers, spaces
+from pfrl_tpu.agents.ddpg import DDPG
+from pfrl_tpu.models import MLP
+from pfrl_tpu.policies import DeterministicHead
+from pfrl_tpu.q_functions import FCSAQFunction
+from pfrl_tpu.replay import ReplayBuffer
+
+
+class Policy(nn.Module):
+    action_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = MLP(out_size=self.action_size, hidden_sizes=(400, 300))(x)
+        return DeterministicHead()(jnp.tanh(h))
+
+
+def burnin(action_size, rng, batch):
+    return jax.random.uniform(rng, (batch, action_size), minval=-1.0, maxval=1.0)
+
+
+def make_env(args, seed):
+    try:
+        import gym
+
+        env = gym.make(args.env)
+        env.seed(seed)
+        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+        return NormalizeActionSpace(CastObservationToFloat32(env))
+    except ImportError:
+        from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
+
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="HalfCheetah-v2")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=10**6)
+    parser.add_argument("--eval-interval", type=int, default=5000)
+    parser.add_argument("--replay-start-size", type=int, default=10_000)
+    parser.add_argument("--outdir", default="results/ddpg")
+    args = parser.parse_args()
+
+    env = make_env(args, args.seed)
+    eval_env = make_env(args, args.seed + 100)
+    action_size = env.action_space.shape[0]
+
+    # Reference hyperparameters (train_ddpg.py:70-120).
+    agent = DDPG(
+        Policy(action_size=action_size),
+        FCSAQFunction(n_hidden_channels=400, n_hidden_layers=2),
+        optax.adam(1e-3),
+        optax.adam(1e-3),
+        ReplayBuffer(10**6, gamma=0.99),
+        0.99,
+        explorers.AdditiveGaussian(0.1, low=-1.0, high=1.0),
+        action_space=spaces.box(-1.0, 1.0, (action_size,)),
+        replay_start_size=args.replay_start_size,
+        minibatch_size=100,
+        target_update_method="soft",
+        soft_update_tau=5e-3,
+        burnin_action_func=functools.partial(burnin, action_size),
+        burnin_steps=args.replay_start_size,
+        seed=args.seed,
+    )
+    experiments.train_agent_with_evaluation(
+        agent,
+        env,
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=args.eval_interval,
+        outdir=args.outdir,
+        eval_env=eval_env,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""PPO MuJoCo reproduction (reference parity:
+examples/mujoco/reproduction/ppo/train_ppo.py). Falls back to the in-repo
+Pendulum when gym/mujoco are absent; ``--jax-env pendulum`` forces the
+fully on-device runner at device speed.
+"""
+
+import argparse
+
+import flax.linen as nn
+import jax
+import optax
+
+from pfrl_tpu import experiments
+from pfrl_tpu.agents.ppo import PPO, PPOCore
+from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+
+
+class PiV(nn.Module):
+    """Independent pi/V towers (reference: Branched(policy, vf),
+    train_ppo.py:80-110)."""
+
+    action_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        hp = nn.tanh(nn.Dense(64)(x))
+        hp = nn.tanh(nn.Dense(64)(hp))
+        mean = nn.Dense(
+            self.action_size,
+            kernel_init=nn.initializers.variance_scaling(1e-4, "fan_in", "normal"),
+        )(hp)
+        dist = GaussianHeadWithStateIndependentCovariance(
+            action_size=self.action_size
+        )(mean)
+        hv = nn.tanh(nn.Dense(64)(x))
+        hv = nn.tanh(nn.Dense(64)(hv))
+        return dist, nn.Dense(1)(hv)
+
+
+def make_env(args, seed):
+    try:
+        import gym
+
+        env = gym.make(args.env)
+        env.seed(seed)
+        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+        return NormalizeActionSpace(CastObservationToFloat32(env))
+    except ImportError:
+        from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
+
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+
+
+def run_device(args):
+    """Fully on-device PPO on the pure-JAX Pendulum."""
+    from pfrl_tpu.envs import Pendulum, TimeLimit
+    from pfrl_tpu.experiments import OnPolicyRunner
+
+    core = PPOCore(
+        model=PiV(action_size=1),
+        optimizer=optax.adam(3e-4),
+        gamma=0.99,
+        lambd=0.95,
+        epochs=10,
+        minibatch_size=64,
+        clip_eps=0.2,
+    )
+    runner = OnPolicyRunner(
+        TimeLimit(Pendulum()), core, num_envs=args.num_envs, rollout_len=128
+    )
+    state = runner.init(jax.random.PRNGKey(args.seed))
+    import time
+
+    t0 = time.time()
+    iters_per_print = 10
+    while int(state.t) < args.steps:
+        state, aux = runner.run_iterations(state, iters_per_print)
+        t = int(state.t)
+        print(
+            f"step {t:>9d} | {t/(time.time()-t0):>8.0f} steps/s | "
+            f"recent R {runner.recent_return_mean(state):8.1f}",
+            flush=True,
+        )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="Hopper-v3")
+    parser.add_argument("--jax-env", choices=["pendulum"], default=None,
+                        help="run fully on device against a pure-JAX env")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=2 * 10**6)
+    parser.add_argument("--num-envs", type=int, default=64)
+    parser.add_argument("--eval-interval", type=int, default=100_000)
+    parser.add_argument("--outdir", default="results/ppo")
+    args = parser.parse_args()
+
+    if args.jax_env:
+        run_device(args)
+        return
+
+    env = make_env(args, args.seed)
+    eval_env = make_env(args, args.seed + 100)
+    action_size = env.action_space.shape[0]
+    # Reference hyperparameters (train_ppo.py:115-135).
+    agent = PPO(
+        PiV(action_size=action_size),
+        optax.adam(3e-4),
+        gamma=0.995,
+        lambd=0.97,
+        update_interval=2048,
+        minibatch_size=64,
+        epochs=10,
+        clip_eps=0.2,
+        entropy_coef=0.0,
+        standardize_advantages=True,
+        seed=args.seed,
+    )
+    experiments.train_agent_with_evaluation(
+        agent,
+        env,
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=args.eval_interval,
+        outdir=args.outdir,
+        eval_env=eval_env,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""TRPO MuJoCo reproduction (reference parity:
+examples/mujoco/reproduction/trpo/train_trpo.py). Pendulum fallback when
+gym/mujoco are absent."""
+
+import argparse
+
+import flax.linen as nn
+import optax
+
+from pfrl_tpu import experiments
+from pfrl_tpu.agents.trpo import TRPO
+from pfrl_tpu.models import MLP
+from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+
+
+class Policy(nn.Module):
+    action_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.tanh(nn.Dense(64)(x))
+        h = nn.tanh(nn.Dense(64)(h))
+        mean = nn.Dense(
+            self.action_size,
+            kernel_init=nn.initializers.variance_scaling(1e-2, "fan_in", "normal"),
+        )(h)
+        return GaussianHeadWithStateIndependentCovariance(
+            action_size=self.action_size
+        )(mean)
+
+
+def make_env(args, seed):
+    try:
+        import gym
+
+        env = gym.make(args.env)
+        env.seed(seed)
+        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+        return NormalizeActionSpace(CastObservationToFloat32(env))
+    except ImportError:
+        from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
+
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="Hopper-v3")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=2 * 10**6)
+    parser.add_argument("--eval-interval", type=int, default=100_000)
+    parser.add_argument("--outdir", default="results/trpo")
+    args = parser.parse_args()
+
+    env = make_env(args, args.seed)
+    eval_env = make_env(args, args.seed + 100)
+    action_size = env.action_space.shape[0]
+
+    # Reference hyperparameters (train_trpo.py:90-120).
+    agent = TRPO(
+        Policy(action_size=action_size),
+        MLP(out_size=1, hidden_sizes=(64, 64)),
+        optax.adam(1e-3),
+        gamma=0.995,
+        lambd=0.97,
+        update_interval=5000,
+        max_kl=0.01,
+        conjugate_gradient_max_iter=20,
+        conjugate_gradient_damping=1e-1,
+        vf_epochs=5,
+        entropy_coef=0.0,
+        seed=args.seed,
+    )
+    experiments.train_agent_with_evaluation(
+        agent,
+        env,
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=args.eval_interval,
+        outdir=args.outdir,
+        eval_env=eval_env,
+    )
+
+
+if __name__ == "__main__":
+    main()

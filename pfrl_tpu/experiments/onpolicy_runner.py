@@ -53,7 +53,7 @@ class OnPolicyRunner:
         rng, rng_env, rng_core = jax.random.split(rng, 3)
         env_states, obs = self.env.reset(rng_env)
         train_state = self.core.init(rng_core, obs)
-        return OnPolicyRunnerState(
+        state = OnPolicyRunnerState(
             env_states=env_states,
             obs=obs,
             train_state=train_state,
@@ -62,6 +62,11 @@ class OnPolicyRunner:
             episode_return=jnp.zeros((self.num_envs,), jnp.float32),
             recent_returns=jnp.zeros((self.return_window,), jnp.float32),
             recent_count=jnp.zeros((), jnp.int32),
+        )
+        # De-alias for donation (see OffPolicyRunner.init).
+        return jax.tree.map(
+            lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+            state,
         )
 
     # ------------------------------------------------------------- iteration
@@ -139,7 +144,9 @@ class OnPolicyRunner:
                 def body(s, _):
                     return self._iteration(s)
                 return jax.lax.scan(body, state, None, length=n_iter)
-            self._jit_iteration = jax.jit(multi, static_argnums=(1,))
+            self._jit_iteration = jax.jit(
+                multi, static_argnums=(1,), donate_argnums=(0,)
+            )
         return self._jit_iteration(state, n)
 
     def recent_return_mean(self, state) -> float:

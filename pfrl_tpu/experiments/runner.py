@@ -190,6 +190,13 @@ class OffPolicyRunner:
             state = state.replace(
                 act_state=self.core.init_act_state(self.config.num_envs)
             )
+        # De-alias: init may share buffers between leaves (target_params is
+        # params, zeros constants are cached); donation requires each
+        # flattened argument to own its buffer.
+        state = jax.tree.map(
+            lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+            state,
+        )
         if self.mesh is not None:
             state = jax.device_put(state, self._state_shardings(state))
         return state
@@ -340,8 +347,13 @@ class OffPolicyRunner:
             def chunk(state, length):
                 return jax.lax.scan(self._one_step, state, None, length=length)
 
+            # donate_argnums aliases the RunnerState into the output —
+            # without it XLA may materialize a copy of the (multi-GB for
+            # Atari) replay ring per dispatch.
             if self.mesh is None:
-                self._jit_chunk = jax.jit(chunk, static_argnames=("length",))
+                self._jit_chunk = jax.jit(
+                    chunk, static_argnames=("length",), donate_argnums=(0,)
+                )
             else:
                 shardings = self._state_shardings(state)
                 jitted = jax.jit(
@@ -349,6 +361,7 @@ class OffPolicyRunner:
                     static_argnums=(1,),
                     in_shardings=(shardings,),
                     out_shardings=(shardings, None),
+                    donate_argnums=(0,),
                 )
                 self._jit_chunk = lambda s, length: jitted(s, length)
         state, metrics = self._jit_chunk(state, length=num_steps)
