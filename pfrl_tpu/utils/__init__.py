@@ -9,6 +9,7 @@ from pfrl_tpu.utils.copy_param import (
     synchronize_parameters,
 )
 from pfrl_tpu.utils.mode_of_distribution import mode_of_distribution
+from pfrl_tpu.utils.profiling import StepTimer, trace
 from pfrl_tpu.utils.pytree import (
     tree_replace,
     tree_select,
@@ -29,6 +30,8 @@ __all__ = [
     "soft_copy_param",
     "synchronize_parameters",
     "mode_of_distribution",
+    "StepTimer",
+    "trace",
     "tree_replace",
     "tree_select",
     "tree_stack",
