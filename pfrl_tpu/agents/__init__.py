@@ -2,6 +2,7 @@
 
 from pfrl_tpu.agents.a2c import A2C, A2CCore
 from pfrl_tpu.agents.a3c import A3C, A3CCore
+from pfrl_tpu.agents.acer import ACERCore
 from pfrl_tpu.agents.al import AL, ALCore
 from pfrl_tpu.agents.categorical_dqn import (
     CategoricalDQN,
@@ -16,7 +17,9 @@ from pfrl_tpu.agents.dqn import DQN, DQNCore, DQNState
 from pfrl_tpu.agents.iqn import IQN, DoubleIQN, DoubleIQNCore, IQNCore
 from pfrl_tpu.agents.pal import PAL, DoublePAL, DoublePALCore, PALCore
 from pfrl_tpu.agents.ppo import PPO, PPOCore
+from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
 from pfrl_tpu.agents.reinforce import REINFORCE, ReinforceCore
+from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
 from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
 from pfrl_tpu.agents.td3 import TD3, TD3Core
 from pfrl_tpu.agents.trpo import TRPO, TRPOCore
@@ -26,6 +29,7 @@ __all__ = [
     "A2CCore",
     "A3C",
     "A3CCore",
+    "ACERCore",
     "AL",
     "ALCore",
     "CategoricalDQN",
@@ -51,8 +55,10 @@ __all__ = [
     "PALCore",
     "PPO",
     "PPOCore",
+    "RecurrentDQNCore",
     "REINFORCE",
     "ReinforceCore",
+    "StateQFunctionActor",
     "SACCore",
     "SoftActorCritic",
     "TD3",

@@ -11,12 +11,23 @@ threads) collapses into:
   ``batch_act/batch_observe/save/load`` protocol, with the ReplayUpdater
   gating (pfrl/replay_buffer.py:290-356) as plain host counters.
 
-The async actor-learner mode (dqn.py:604-788) is intentionally absent: its
-TPU-native replacement is the fully-jitted runner looping act+update on
-device (pfrl_tpu/experiments/runner.py), which makes the actor/learner
-decoupling unnecessary — see SURVEY.md §7.
+The async actor-learner mode (dqn.py:604-788) has two TPU-native forms:
+
+- pure-jax envs: the fully-jitted runner looping act+update on device
+  (pfrl_tpu/experiments/runner.py) — actor/learner decoupling dissolves.
+- host envs (ALE, MuJoCo): :meth:`DQN.setup_actor_learner_training` —
+  actor threads step envs and act through ONE batched inference server
+  (pfrl_tpu/parallel/inference_server.py), a poller drains their
+  transitions into the device replay ring, and a learner thread runs
+  updates flat-out, mirroring dqn.py:604-788 with queues instead of pipes
+  and a zero-copy snapshot swap instead of the reference's D2H
+  state_dict copy.
 """
 
+import collections
+import queue as queue_mod
+import threading
+import time
 from typing import Any, Callable, Optional
 
 import jax
@@ -216,6 +227,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
 
         self.rng = jax.random.PRNGKey(seed)
         self.t = 0  # env transitions observed
+        self._optim_t = 0  # optimizer steps (host mirror of n_updates)
         self.train_state: Optional[DQNState] = None
         self.replay_state = None
         self._last_obs = None
@@ -318,6 +330,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
             loss,
             avg_q,
         ) = self._jit_update(self.train_state, self.replay_state, self._next_rng())
+        self._optim_t += 1
         self._loss_stats.append(loss)
         self._q_stats.append(avg_q)
 
@@ -326,8 +339,238 @@ class DQN(AttributeSavingMixin, BatchAgent):
         return [
             ("average_q", self._q_stats.mean()),
             ("average_loss", self._loss_stats.mean()),
-            ("n_updates", int(self.train_state.n_updates) if self.train_state is not None else 0),
+            ("n_updates", self.optim_t),
         ]
+
+    # ======================================================== actor-learner
+    # TPU-native port of pfrl/agents/dqn.py:604-788 (see module docstring).
+
+    @property
+    def cumulative_steps(self) -> int:
+        """Total env transitions received from actors (dqn.py:631)."""
+        counter = getattr(self, "_cumulative_steps_counter", None)
+        return counter.value if counter is not None else self.t
+
+    @property
+    def optim_t(self) -> int:
+        """Number of optimizer steps so far (host mirror of n_updates)."""
+        return self._optim_t
+
+    def _can_start_replay(self) -> bool:
+        """dqn.py:594-602: enough experience inserted to sample safely."""
+        margin = (self.buffer.num_steps + 1) * self.buffer.num_lanes
+        need = max(self.replay_start_size, margin, self.minibatch_size)
+        return self._replay_inserted >= need
+
+    def _actor_act_fn(self, seed: int, obs_batch, t: int, training: bool):
+        """Server-side batched act: lazy-init, then one device forward using
+        the latest published snapshot (never blocks on the learner)."""
+        with self._init_lock:
+            if self.train_state is None or self._jit_act is None:
+                self._ensure_init(np.asarray(obs_batch))
+                self._initialized_event.set()
+        train_state = (
+            self._actor_train_state
+            if self._actor_train_state is not None
+            else self.train_state
+        )
+        return self._jit_act(
+            train_state,
+            jax.random.PRNGKey(seed),
+            jnp.asarray(obs_batch),
+            jnp.asarray(t, jnp.int32),
+            training,
+        )
+
+    def _poller_loop(self, transition_queue, stop_event, exception_event, logger):
+        """Drain actor transitions into the device replay ring.
+
+        Parity: dqn.py:604-646 + 713-727. The ring interleaves lanes
+        (lane = actor), so transitions stage in per-actor FIFOs and flush one
+        full row (one transition per actor) at a time — preserving each
+        lane's temporal order for the n-step fold exactly as the reference's
+        per-env_id staging deques do (replay_buffers/replay_buffer.py:29-62).
+        """
+        n = self._n_actors
+        staging = [collections.deque() for _ in range(n)]
+        try:
+            while not stop_event.is_set() and not exception_event.is_set():
+                try:
+                    actor_id, data = transition_queue.get(timeout=0.05)
+                except queue_mod.Empty:
+                    continue
+                staging[actor_id].append(data)
+                self._cumulative_steps_counter.increment()
+                # Opportunistically drain everything already in flight.
+                while True:
+                    try:
+                        actor_id, data = transition_queue.get_nowait()
+                    except queue_mod.Empty:
+                        break
+                    staging[actor_id].append(data)
+                    self._cumulative_steps_counter.increment()
+                while all(staging):
+                    rows = [staging[i].popleft() for i in range(n)]
+                    transition = Transition(
+                        obs=jnp.asarray(np.stack([r["obs"] for r in rows])),
+                        action=jnp.asarray(np.stack([r["action"] for r in rows])),
+                        reward=jnp.asarray(
+                            np.asarray([r["reward"] for r in rows], np.float32)
+                        ),
+                        next_obs=jnp.asarray(
+                            np.stack([r["next_obs"] for r in rows])
+                        ),
+                        terminated=jnp.asarray(
+                            np.asarray([r["terminated"] for r in rows], bool)
+                        ),
+                        done=jnp.asarray(
+                            np.asarray([r["done"] for r in rows], bool)
+                        ),
+                        extras=FrozenDict(),
+                    )
+                    with self._replay_lock:
+                        if self.replay_state is None:
+                            example = jax.tree.map(lambda x: x[0], transition)
+                            if self.buffer.num_lanes != n:
+                                self.buffer = self.buffer.configure_lanes(n)
+                            self._ensure_buffer(example)
+                        self.replay_state = self.buffer.add(
+                            self.replay_state, transition
+                        )
+                        self._replay_inserted += n
+        except Exception:
+            logger.exception("Poller loop failed. Exiting")
+            exception_event.set()
+        finally:
+            self._inference.stop()
+
+    def _learner_loop(
+        self,
+        stop_event,
+        exception_event,
+        n_updates,
+        actor_update_interval,
+        step_hooks,
+        optimizer_step_hooks,
+        logger,
+    ):
+        """Optimizer steps decoupled from env stepping (dqn.py:648-712)."""
+        try:
+            update_counter = 0
+            while not stop_event.is_set():
+                if (
+                    self.train_state is None
+                    or self.replay_state is None
+                    or not self._can_start_replay()
+                ):
+                    time.sleep(1e-4)
+                    continue
+                if n_updates is not None and self._optim_t >= n_updates:
+                    stop_event.set()
+                    break
+                with self._replay_lock:
+                    self._update_once()
+                update_counter += 1
+                # Publish the actors' snapshot: a pointer swap — device
+                # arrays are immutable, so no copy (vs the reference's
+                # state_dict D2H copy, dqn.py:687-691).
+                if update_counter % actor_update_interval == 0:
+                    self.update_counter.increment()
+                    self._actor_train_state = self.train_state
+                # Effective timestep keeps the configured update:env-step
+                # ratio for target syncs and hooks (dqn.py:693-712).
+                effective_timestep = self._optim_t * self.update_interval
+                self.t = effective_timestep
+                for hook in optimizer_step_hooks:
+                    hook(None, self, self._optim_t)
+                for hook in step_hooks:
+                    hook(None, self, effective_timestep)
+                if effective_timestep % self.target_update_interval == 0:
+                    self.train_state = self.core.sync_target(self.train_state)
+        except Exception:
+            logger.exception("Learner loop failed. Exiting")
+            exception_event.set()
+
+    def setup_actor_learner_training(
+        self,
+        n_actors: int,
+        update_counter=None,
+        n_updates: Optional[int] = None,
+        actor_update_interval: int = 8,
+        step_hooks=(),
+        optimizer_step_hooks=(),
+        logger=None,
+    ):
+        """Returns ``(make_actor, learner, poller, exception_event)``.
+
+        Same contract as the reference (dqn.py:729-788): start ``poller``
+        and ``learner``, build actors with ``make_actor(i)``, drive them
+        with ``experiments.train_agent_async(..., make_agent=make_actor,
+        stop_event=learner.stop_event)``, then stop/join both threads.
+        """
+        import logging as _logging
+
+        from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
+        from pfrl_tpu.parallel.inference_server import BatchedInferenceServer
+        from pfrl_tpu.utils.stoppable_thread import Counter, StoppableThread
+
+        logger = logger or _logging.getLogger(__name__)
+        self._n_actors = n_actors
+        self.update_counter = (
+            update_counter if update_counter is not None else Counter()
+        )
+        self._cumulative_steps_counter = Counter()
+        self._replay_inserted = 0
+        self._optim_t = 0
+        self._actor_train_state = None
+        self._replay_lock = threading.Lock()
+        self._init_lock = threading.Lock()
+        self._initialized_event = threading.Event()
+
+        self._inference = BatchedInferenceServer(
+            act_fn=self._actor_act_fn,
+            n_slots=n_actors,
+            t_fn=lambda: self._cumulative_steps_counter.value,
+        )
+        self._inference.start()
+        transition_queue: "queue_mod.Queue" = queue_mod.Queue()
+        exception_event = threading.Event()
+
+        def make_actor(i: int) -> StateQFunctionActor:
+            return StateQFunctionActor(
+                inference=self._inference,
+                transition_queue=transition_queue,
+                actor_id=i,
+                learner_agent=self,
+                logger=logger,
+            )
+
+        poller_stop = threading.Event()
+        poller = StoppableThread(
+            stop_event=poller_stop,
+            target=self._poller_loop,
+            kwargs=dict(
+                transition_queue=transition_queue,
+                stop_event=poller_stop,
+                exception_event=exception_event,
+                logger=logger,
+            ),
+        )
+        learner_stop = threading.Event()
+        learner = StoppableThread(
+            stop_event=learner_stop,
+            target=self._learner_loop,
+            kwargs=dict(
+                stop_event=learner_stop,
+                exception_event=exception_event,
+                n_updates=n_updates,
+                actor_update_interval=actor_update_interval,
+                step_hooks=list(step_hooks),
+                optimizer_step_hooks=list(optimizer_step_hooks),
+                logger=logger,
+            ),
+        )
+        return make_actor, learner, poller, exception_event
 
 
 DQN.default_core = DQNCore

@@ -5,7 +5,9 @@ from pfrl_tpu.experiments.evaluation_hooks import (
     OptunaPrunerHook,
 )
 from pfrl_tpu.experiments.evaluator import (
+    AsyncEvaluator,
     Evaluator,
+    batch_run_evaluation_episodes,
     eval_performance,
     run_evaluation_episodes,
 )
@@ -34,7 +36,9 @@ __all__ = [
     "EvaluationHook",
     "OptunaPrunerHook",
     "train_agent_async",
+    "AsyncEvaluator",
     "Evaluator",
+    "batch_run_evaluation_episodes",
     "eval_performance",
     "run_evaluation_episodes",
     "LinearInterpolationHook",

@@ -8,5 +8,11 @@ env lanes shard over a device mesh, the learner update runs under
 
 from pfrl_tpu.parallel.mesh import make_mesh, shard_batch
 from pfrl_tpu.parallel.data_parallel import data_parallel_update
+from pfrl_tpu.parallel.inference_server import BatchedInferenceServer
 
-__all__ = ["make_mesh", "shard_batch", "data_parallel_update"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "data_parallel_update",
+    "BatchedInferenceServer",
+]

@@ -21,6 +21,7 @@ from pfrl_tpu.utils.pytree import (
 from pfrl_tpu.utils.random import sample_n_k
 from pfrl_tpu.utils.random_seed import set_random_seed
 from pfrl_tpu.utils.stats import RunningStats
+from pfrl_tpu.utils.stoppable_thread import Counter, StoppableThread
 
 __all__ = [
     "batch_states",

@@ -1,0 +1,178 @@
+"""Actor-learner training tests.
+
+Modeled on the reference's _TestActorLearnerTrainingMixin
+(tests/agents_tests/basetest_training.py:178-289): fast runs assert the
+plumbing — cumulative step accounting, hook cadence, checkpoint artifacts —
+rather than learning success.
+"""
+
+import os
+import threading
+import time
+from unittest import mock
+
+import numpy as np
+import optax
+import pytest
+
+from pfrl_tpu.agents import DQN
+from pfrl_tpu.envs import ABC
+from pfrl_tpu.envs.host_adapter import HostJaxEnv
+from pfrl_tpu.experiments import train_agent_async
+from pfrl_tpu.explorers import ConstantEpsilonGreedy
+from pfrl_tpu.parallel import BatchedInferenceServer
+from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+from pfrl_tpu.replay import ReplayBuffer
+
+
+def make_agent():
+    return DQN(
+        q_function=FCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_hidden_channels=16, n_hidden_layers=1
+        ),
+        optimizer=optax.adam(1e-2),
+        replay_buffer=ReplayBuffer(capacity=256, num_lanes=2),
+        gamma=0.9,
+        explorer=ConstantEpsilonGreedy(0.3, 2),
+        replay_start_size=8,
+        minibatch_size=4,
+        update_interval=1,
+        target_update_interval=16,
+    )
+
+
+def test_actor_learner_training_fast(tmp_path):
+    steps = 60
+    agent = make_agent()
+    assert agent.cumulative_steps == 0
+
+    def make_env(process_idx, test):
+        return HostJaxEnv(ABC(discrete=True, episodic=True), seed=process_idx)
+
+    step_hook = mock.Mock()
+    optimizer_step_hook = mock.Mock()
+
+    make_actor, learner, poller, exception_event = (
+        agent.setup_actor_learner_training(
+            n_actors=2,
+            step_hooks=[step_hook],
+            optimizer_step_hooks=[optimizer_step_hook],
+        )
+    )
+    poller.start()
+    learner.start()
+    train_agent_async(
+        outdir=str(tmp_path),
+        processes=2,
+        make_env=make_env,
+        steps=steps,
+        eval_interval=30,
+        eval_n_steps=None,
+        eval_n_episodes=2,
+        make_agent=make_actor,
+        stop_event=learner.stop_event,
+        exception_event=exception_event,
+    )
+    learner.stop()
+    learner.join()
+    poller.stop()
+    poller.join()
+
+    assert not exception_event.is_set()
+    assert agent.cumulative_steps > 0
+    # Each actor thread may complete one in-flight step past `steps`.
+    assert agent.cumulative_steps <= steps + 2
+
+    # Hooks: called per optimizer step with the reference's signature
+    # (basetest_training.py:252-262).
+    assert optimizer_step_hook.call_count == step_hook.call_count
+    for i, call in enumerate(step_hook.call_args_list):
+        args, _ = call
+        assert args[0] is None
+        assert args[1] is agent
+        assert args[2] == (i + 1) * agent.update_interval
+    for i, call in enumerate(optimizer_step_hook.call_args_list):
+        args, _ = call
+        assert args[2] == i + 1
+
+    # Artifact: final or successful checkpoint dir (train_agent_async
+    # saves `{steps}_finish` / `successful`).
+    assert os.path.exists(os.path.join(tmp_path, f"{steps}_finish")) or (
+        os.path.exists(os.path.join(tmp_path, "successful"))
+    )
+    assert os.path.exists(os.path.join(tmp_path, "scores.txt"))
+
+
+def test_actor_learner_updates_happen(tmp_path):
+    """With a tiny replay_start_size the learner must run optimizer steps."""
+    agent = make_agent()
+
+    def make_env(process_idx, test):
+        return HostJaxEnv(ABC(discrete=True, episodic=True), seed=process_idx)
+
+    make_actor, learner, poller, exception_event = (
+        agent.setup_actor_learner_training(n_actors=2, actor_update_interval=2)
+    )
+    poller.start()
+    learner.start()
+    train_agent_async(
+        outdir=str(tmp_path),
+        processes=2,
+        make_env=make_env,
+        steps=120,
+        eval_interval=None,
+        eval_n_steps=None,
+        eval_n_episodes=2,
+        make_agent=make_actor,
+        stop_event=learner.stop_event,
+        exception_event=exception_event,
+    )
+    # The learner runs decoupled from env steps; give it time to finish at
+    # least a couple of optimizer steps (first one pays jit compile).
+    deadline = time.time() + 60
+    while agent.optim_t < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    learner.stop()
+    learner.join()
+    poller.stop()
+    poller.join()
+    assert not exception_event.is_set()
+    assert agent.optim_t >= 2
+    # Snapshot published to actors (update_counter increments every
+    # actor_update_interval updates, dqn.py:687-691).
+    assert agent.update_counter.value > 0
+    assert agent._actor_train_state is not None
+
+
+def test_batched_inference_server_routes_actions():
+    """Requests from many threads come back to the right caller."""
+
+    def act_fn(seed, obs, t, training):
+        return obs[:, 0]  # action := first obs feature
+
+    server = BatchedInferenceServer(act_fn, n_slots=4)
+    server.start()
+    results = {}
+
+    def worker(i):
+        results[i] = server.submit(np.asarray([float(i), 0.0]), True)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.stop()
+    for i in range(8):
+        assert results[i] == pytest.approx(float(i))
+
+
+def test_batched_inference_server_propagates_errors():
+    def act_fn(seed, obs, t, training):
+        raise RuntimeError("boom")
+
+    server = BatchedInferenceServer(act_fn, n_slots=2)
+    server.start()
+    with pytest.raises(RuntimeError, match="boom"):
+        server.submit(np.zeros(2), True)
+    server.stop()
