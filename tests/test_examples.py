@@ -58,3 +58,81 @@ def test_ppo_device_example():
         ["--jax-env", "pendulum", "--steps", "20000", "--num-envs", "8"],
     )
     assert "steps/s" in out
+
+
+@pytest.mark.slow
+def test_quickstart_example():
+    out = run_example("examples/quickstart/quickstart.py", ["--steps", "3000"])
+    assert "final eval returns" in out
+
+
+@pytest.mark.slow
+def test_quickstart_hostloop_example():
+    out = run_example(
+        "examples/quickstart/quickstart.py", ["--hostloop", "--steps", "300"]
+    )
+    assert "statistics" in out
+
+
+@pytest.mark.slow
+def test_dqn_gym_naf_example():
+    # Continuous action space -> NAF quadratic Q-function path.
+    out = run_example(
+        "examples/gym/train_dqn_gym.py",
+        ["--env", "pendulum", "--steps", "3000", "--num-envs", "8",
+         "--eval-interval", "3000", "--replay-start-size", "256",
+         "--update-per", "8"],
+    )
+    assert "env-steps/s" in out
+
+
+@pytest.mark.slow
+def test_categorical_dqn_gym_example():
+    out = run_example(
+        "examples/gym/train_categorical_dqn_gym.py",
+        ["--steps", "3000", "--num-envs", "8", "--eval-interval", "3000",
+         "--replay-start-size", "256", "--update-per", "8"],
+    )
+    assert "env-steps/s" in out
+
+
+@pytest.mark.slow
+def test_reinforce_gym_example(tmp_path):
+    run_example(
+        "examples/gym/train_reinforce_gym.py",
+        ["--steps", "600", "--eval-interval", "300", "--eval-n-runs", "2",
+         "--outdir", str(tmp_path)],
+    )
+
+
+@pytest.mark.slow
+def test_dqn_ale_sim_dueling_per_example():
+    out = run_example(
+        "examples/atari/train_dqn_ale.py",
+        ["--sim", "--arch", "dueling", "--double", "--prioritized",
+         "--steps", "200", "--chunk", "50", "--num-envs", "8",
+         "--replay-capacity", "2000", "--replay-start-size", "128",
+         "--target-update-interval", "512"],
+    )
+    assert "env-steps/s" in out
+
+
+@pytest.mark.slow
+def test_drqn_ale_sim_example():
+    out = run_example(
+        "examples/atari/train_drqn_ale.py",
+        ["--sim", "--steps", "200", "--chunk", "50", "--num-envs", "8",
+         "--batch-size", "4", "--max-episodes", "128",
+         "--episodic-update-len", "8", "--replay-start-size", "128",
+         "--target-update-interval", "512"],
+    )
+    assert "env-steps/s" in out
+
+
+@pytest.mark.slow
+def test_a2c_ale_sim_example():
+    out = run_example(
+        "examples/atari/train_a2c_ale.py",
+        ["--sim", "--steps", "2000", "--num-envs", "8"],
+    )
+    assert "env-steps/s" in out
