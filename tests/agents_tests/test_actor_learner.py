@@ -104,14 +104,18 @@ def test_actor_learner_training_fast(tmp_path):
 
 
 def test_actor_learner_updates_happen(tmp_path):
-    """With a tiny replay_start_size the learner must run optimizer steps."""
+    """With ``n_updates`` set, the learner drives termination and must have
+    run exactly that many optimizer steps (reference semantics: the learner
+    sets the stop event once n_updates is reached, dqn.py:666-668)."""
     agent = make_agent()
 
     def make_env(process_idx, test):
         return HostJaxEnv(ABC(discrete=True, episodic=True), seed=process_idx)
 
     make_actor, learner, poller, exception_event = (
-        agent.setup_actor_learner_training(n_actors=2, actor_update_interval=2)
+        agent.setup_actor_learner_training(
+            n_actors=2, actor_update_interval=2, n_updates=3
+        )
     )
     poller.start()
     learner.start()
@@ -119,7 +123,7 @@ def test_actor_learner_updates_happen(tmp_path):
         outdir=str(tmp_path),
         processes=2,
         make_env=make_env,
-        steps=120,
+        steps=100000,  # large: the learner's n_updates ends training
         eval_interval=None,
         eval_n_steps=None,
         eval_n_episodes=2,
@@ -127,17 +131,12 @@ def test_actor_learner_updates_happen(tmp_path):
         stop_event=learner.stop_event,
         exception_event=exception_event,
     )
-    # The learner runs decoupled from env steps; give it time to finish at
-    # least a couple of optimizer steps (first one pays jit compile).
-    deadline = time.time() + 60
-    while agent.optim_t < 2 and time.time() < deadline:
-        time.sleep(0.05)
     learner.stop()
     learner.join()
     poller.stop()
     poller.join()
     assert not exception_event.is_set()
-    assert agent.optim_t >= 2
+    assert agent.optim_t >= 3
     # Snapshot published to actors (update_counter increments every
     # actor_update_interval updates, dqn.py:687-691).
     assert agent.update_counter.value > 0
