@@ -3,30 +3,22 @@
 Fork-of-Baselines stack: NoopReset, FireReset, EpisodicLife, MaxAndSkip,
 ClipReward, WarpFrame (84x84 grayscale), FrameStack with LazyFrames,
 ScaledFloatFrame, FlickerFrame, and the ``make_atari``/``wrap_deepmind``
-factories. These drive a *host* ALE emulator; gym/ale-py and cv2 are
-imported lazily so the module is importable in images without them (this
-container has neither — the device-side stand-in for benchmarking is
-pfrl_tpu/envs/atari_sim.py).
+factories. These drive a *host* ALE emulator; gym/ale-py is imported lazily
+so the module is importable in images without it (the device-side stand-in
+for benchmarking is pfrl_tpu/envs/atari_sim.py).
+
+Unlike the reference, WarpFrame needs no OpenCV: grayscale + area resize run
+through the native C++ runtime (pfrl_tpu/runtime, fused single pass, numpy
+fallback) — the host-CPU hot loop that must keep pace with the TPU actor.
 """
 
 from collections import deque
 
 import numpy as np
 
+from pfrl_tpu import runtime
 from pfrl_tpu.env import Env
 from pfrl_tpu.wrappers.vector_frame_stack import LazyFrames
-
-
-def _require_cv2():
-    try:
-        import cv2  # noqa: F401
-
-        cv2.ocl.setUseOpenCL(False)
-        return cv2
-    except ImportError as e:
-        raise ImportError(
-            "WarpFrame requires cv2 (opencv-python), not present in this image"
-        ) from e
 
 
 class _GymWrapper(Env):
@@ -140,7 +132,8 @@ class MaxAndSkipEnv(_GymWrapper):
             total_reward += reward
             if done:
                 break
-        return self._obs_buffer.max(axis=0), total_reward, done, info
+        max_frame = runtime.frame_max(self._obs_buffer[0], self._obs_buffer[1])
+        return max_frame, total_reward, done, info
 
 
 class ClipRewardEnv(_GymWrapper):
@@ -169,11 +162,9 @@ class WarpFrame(_GymWrapper):
         self.observation_space = spaces.box(0, 255, shape)
 
     def _observation(self, frame):
-        cv2 = _require_cv2()
-        frame = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
-        frame = cv2.resize(
-            frame, (self.width, self.height), interpolation=cv2.INTER_AREA
-        )
+        frame = runtime.warp_frames(
+            np.asarray(frame)[None], self.height, self.width
+        )[0]
         if self.channel_order == "hwc":
             return frame[:, :, None]
         return frame[None, :, :]
