@@ -18,6 +18,7 @@ from pfrl_tpu.agents.iqn import IQN, DoubleIQN, DoubleIQNCore, IQNCore
 from pfrl_tpu.agents.pal import PAL, DoublePAL, DoublePALCore, PALCore
 from pfrl_tpu.agents.ppo import PPO, PPOCore
 from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+from pfrl_tpu.agents.recurrent_iqn import RecurrentIQNCore
 from pfrl_tpu.agents.reinforce import REINFORCE, ReinforceCore
 from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
 from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
@@ -56,6 +57,7 @@ __all__ = [
     "PPO",
     "PPOCore",
     "RecurrentDQNCore",
+    "RecurrentIQNCore",
     "REINFORCE",
     "ReinforceCore",
     "StateQFunctionActor",

@@ -1,6 +1,10 @@
 """Q-function model zoo (reference parity: pfrl/q_functions/)."""
 
 from pfrl_tpu.q_functions.dueling_dqn import DistributionalDuelingDQN, DuelingDQN
+from pfrl_tpu.q_functions.quantile_q_functions import (
+    ImplicitQuantileQFunction,
+    RecurrentImplicitQuantileQFunction,
+)
 from pfrl_tpu.q_functions.state_action_q_functions import (
     FCBNSAQFunction,
     FCSAQFunction,
@@ -15,6 +19,8 @@ from pfrl_tpu.q_functions.state_q_functions import (
 __all__ = [
     "DistributionalDuelingDQN",
     "DuelingDQN",
+    "ImplicitQuantileQFunction",
+    "RecurrentImplicitQuantileQFunction",
     "FCBNSAQFunction",
     "FCSAQFunction",
     "DiscreteActionValueHead",

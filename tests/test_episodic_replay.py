@@ -127,3 +127,68 @@ class TestRecurrentDQN:
         evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
         returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
         assert np.all(returns >= 1.0), returns
+
+
+class TestRecurrentIQN:
+    def test_learns_po_abc(self):
+        """Recurrent IQN solves the partially-observable ABC chain
+        (reference: pfrl/agents/iqn.py:127-173 recurrent model + the
+        recurrent parametrization of tests/agents_tests/test_iqn.py)."""
+        import flax.linen as nn
+
+        from pfrl_tpu.agents import RecurrentIQNCore
+        from pfrl_tpu.envs import ABC
+        from pfrl_tpu.experiments.runner import (
+            JaxEvalLoop,
+            OffPolicyRunner,
+            RunnerConfig,
+        )
+        from pfrl_tpu.explorers import ConstantEpsilonGreedy
+        from pfrl_tpu.models.recurrent import LSTMCellModule
+        from pfrl_tpu.q_functions import RecurrentImplicitQuantileQFunction
+        from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+        class Psi(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(32)(x))
+                h, new_carry = LSTMCellModule(32)(h, carry[0])
+                return h, (new_carry,)
+
+            def initial_carry(self, batch_size):
+                return (
+                    (
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                    ),
+                )
+
+        env = ABC(size=2, partially_observable=True, deterministic=True)
+        core = RecurrentIQNCore(
+            model=RecurrentImplicitQuantileQFunction(
+                psi=Psi(), n_actions=2, n_basis_functions=32
+            ),
+            optimizer=optax.adam(5e-3),
+            explorer=ConstantEpsilonGreedy(0.3, 2),
+            gamma=0.9,
+            quantile_thresholds_N=8,
+            quantile_thresholds_N_prime=8,
+            quantile_thresholds_K=8,
+        )
+        cfg = RunnerConfig(
+            num_envs=16,
+            replay_start_size=128,
+            update_interval=16,
+            target_update_interval=128,
+            minibatch_size=16,
+        )
+        buffer = EpisodicReplayBuffer(
+            max_episodes=512, max_episode_len=4, num_lanes=16
+        )
+        runner = OffPolicyRunner(env, core, buffer, cfg)
+        state = runner.init(jax.random.PRNGKey(0))
+        state, _ = runner.run_chunk(state, 600)
+
+        evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
+        returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+        assert np.all(returns >= 1.0), returns
