@@ -8,22 +8,25 @@ Replaces pfrl's PackedSequence pipeline for recurrent agents
 (SURVEY.md §7 hard part (f)).
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from pfrl_tpu.replay.transition import Transition
+from pfrl_tpu.replay.uniform import ItemShape
 
 
 @struct.dataclass
 class EpisodicReplayState:
-    storage: Transition        # [E, L, ...] per leaf
+    storage: Transition        # [E, L, prod(shape)] per leaf (flattened; see
+                               # uniform.ItemShape for the layout rationale)
     ep_len: jax.Array          # [E] int32 written steps per row
     finished: jax.Array        # [E] bool episode complete
     lane_row: jax.Array        # [num_lanes] row each lane is writing
     n_started: jax.Array       # monotonic count of episodes started
+    item_shapes: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def n_finished(self) -> jax.Array:
@@ -66,7 +69,11 @@ class EpisodicReplayBuffer:
     def init(self, example: Transition) -> EpisodicReplayState:
         E, L = self.max_episodes, self.max_episode_len
         storage = jax.tree.map(
-            lambda x: jnp.zeros((E, L) + jnp.shape(x), jnp.result_type(x)),
+            lambda x: jnp.zeros(
+                (E, L, int(jnp.size(x))), jnp.result_type(x)
+            )
+            if jnp.ndim(x) >= 1
+            else jnp.zeros((E, L), jnp.result_type(x)),
             example,
         )
         return EpisodicReplayState(
@@ -75,6 +82,9 @@ class EpisodicReplayBuffer:
             finished=jnp.zeros((E,), bool),
             lane_row=jnp.arange(self.num_lanes, dtype=jnp.int32),
             n_started=jnp.asarray(self.num_lanes, jnp.int32),
+            item_shapes=jax.tree.map(
+                lambda x: ItemShape(jnp.shape(x)), example
+            ),
         )
 
     # ------------------------------------------------------------------- add
@@ -91,6 +101,8 @@ class EpisodicReplayBuffer:
         safe_pos = jnp.minimum(pos, self.max_episode_len - 1)
 
         def write(s, x):
+            if x.ndim > 1:
+                x = x.reshape(x.shape[0], -1)  # flat storage layout
             cur = s[rows, safe_pos]
             val = jnp.where(
                 writable.reshape((lanes,) + (1,) * (x.ndim - 1)), x, cur
@@ -115,7 +127,7 @@ class EpisodicReplayBuffer:
         finished = finished.at[next_rows].set(
             jnp.where(ended, False, finished[next_rows])
         )
-        return EpisodicReplayState(
+        return state.replace(
             storage=storage,
             ep_len=ep_len,
             finished=finished,
@@ -141,11 +153,21 @@ class EpisodicReplayBuffer:
         )
         lengths = jnp.minimum(state.ep_len[idx], T)
 
-        def take(s):
-            sub = s[idx]                          # [B, L, ...]
-            return sub[:, :T] if T <= sub.shape[1] else sub
+        def take(s, shape):
+            sub = s[idx]                          # [B, L, prod]
+            sub = sub[:, :T] if T <= sub.shape[1] else sub
+            return sub.reshape(sub.shape[:2] + shape.shape)
 
-        transitions = jax.tree.map(take, state.storage)
+        transitions = jax.tree.map(take, state.storage, state.item_shapes)
         t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
         mask = (t_iota < lengths[:, None]).astype(jnp.float32)
         return EpisodeBatch(transitions=transitions, mask=mask, lengths=lengths)
+
+    # ------------------------------------------------------- storage split
+    # See ReplayBuffer.split_storage: keeps the episode storage out of
+    # lax.cond/fori_loop carries so XLA never copies it.
+    def split_storage(self, state):
+        return state.replace(storage=None), state.storage
+
+    def merge_storage(self, light, storage):
+        return light.replace(storage=storage)

@@ -201,3 +201,16 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             min_tree=sum_tree.update_min(state.min_tree, slots, prio),
             max_priority=jnp.maximum(state.max_priority, jnp.max(prio)),
         )
+
+    # ------------------------------------------------------- storage split
+    def split_storage(self, state):
+        """Trees/beta stay in the light part (they mutate inside update
+        loops); only the transition storage is split out (see
+        ReplayBuffer.split_storage for why)."""
+        return (
+            state.replace(base=state.base.replace(storage=None)),
+            state.base.storage,
+        )
+
+    def merge_storage(self, light, storage):
+        return light.replace(base=light.base.replace(storage=storage))

@@ -101,7 +101,11 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
 
         T = max_len or self.max_episode_len
         lengths = jnp.minimum(state.base.ep_len[idx], T)
-        transitions = jax.tree.map(lambda s: s[idx][:, :T], state.base.storage)
+        transitions = jax.tree.map(
+            lambda s, shape: s[idx][:, :T].reshape((n_episodes, T) + shape.shape),
+            state.base.storage,
+            state.base.item_shapes,
+        )
         t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
         mask = (t_iota < lengths[:, None]).astype(jnp.float32)
         return EpisodeBatch(transitions=transitions, mask=mask, lengths=lengths)
@@ -112,3 +116,13 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
             tree=sum_tree.update(state.tree, rows, prio),
             max_priority=jnp.maximum(state.max_priority, jnp.max(prio)),
         )
+
+    # ------------------------------------------------------- storage split
+    def split_storage(self, state):
+        return (
+            state.replace(base=state.base.replace(storage=None)),
+            state.base.storage,
+        )
+
+    def merge_storage(self, light, storage):
+        return light.replace(base=light.base.replace(storage=storage))

@@ -12,7 +12,7 @@ masked at episode boundaries, reproducing the reference's per-env staging
 deques + ``stop_current_episode`` flush semantics without any host state.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +21,55 @@ from flax import struct
 from pfrl_tpu.replay.transition import Transition, TransitionBatch
 
 
+class ItemShape:
+    """Static per-leaf item-shape marker (an opaque pytree leaf).
+
+    Storage keeps every multi-axis leaf flattened to ``[capacity, prod]``:
+    XLA's layout assignment otherwise propagates the *consumer's* preferred
+    layout (e.g. the conv's image tiling) backwards through the sample
+    gather onto the entire ring, materializing a full-ring relayout copy
+    inside the training loop — measured 5x end-to-end slowdown at a
+    100k-frame ring. A 2D ring has a trivial layout; only the gathered
+    minibatch is reshaped (and possibly relaid out) per update.
+    """
+
+    __slots__ = ("shape",)
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+    def __eq__(self, other):
+        return isinstance(other, ItemShape) and other.shape == self.shape
+
+    def __hash__(self):
+        return hash(self.shape)
+
+    def __repr__(self):
+        return f"ItemShape{self.shape}"
+
+
+def flatten_items(batch):
+    """[N, *s] -> [N, prod(s)] per leaf (identity for 1-D leaves)."""
+    return jax.tree.map(
+        lambda x: x.reshape(x.shape[0], -1) if x.ndim > 1 else x, batch
+    )
+
+
+def unflatten_items(batch, shapes, leading: int = 1):
+    """Invert :func:`flatten_items` given an ItemShape tree, keeping
+    ``leading`` batch axes."""
+    return jax.tree.map(
+        lambda x, s: x.reshape(x.shape[:leading] + s.shape),
+        batch,
+        shapes,
+    )
+
+
 @struct.dataclass
 class ReplayState:
-    storage: Transition      # [capacity, ...] per leaf
+    storage: Transition      # [capacity, prod(shape)] per leaf (flattened)
     cursor: jax.Array        # int64-ish monotonic count of items written
+    item_shapes: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def size(self) -> jax.Array:
@@ -89,11 +134,22 @@ class ReplayBuffer:
             example = example.replace(
                 next_obs=jax.tree.map(lambda x: jnp.zeros((0,)), example.next_obs)
             )
+        item_shapes = jax.tree.map(
+            lambda x: ItemShape(jnp.shape(x)), example
+        )
         storage = jax.tree.map(
-            lambda x: jnp.zeros((self.capacity,) + jnp.shape(x), jnp.result_type(x)),
+            lambda x: jnp.zeros(
+                (self.capacity, int(jnp.size(x))), jnp.result_type(x)
+            )
+            if jnp.ndim(x) >= 1
+            else jnp.zeros((self.capacity,), jnp.result_type(x)),
             example,
         )
-        return ReplayState(storage=storage, cursor=jnp.zeros((), jnp.int32))
+        return ReplayState(
+            storage=storage,
+            cursor=jnp.zeros((), jnp.int32),
+            item_shapes=item_shapes,
+        )
 
     # ------------------------------------------------------------------- add
     def add(self, state: ReplayState, batch: Transition) -> ReplayState:
@@ -107,9 +163,9 @@ class ReplayBuffer:
         lanes = jax.tree.leaves(batch)[0].shape[0]
         idx = (state.cursor + jnp.arange(lanes, dtype=jnp.int32)) % self.capacity
         storage = jax.tree.map(
-            lambda s, x: s.at[idx].set(x), state.storage, batch
+            lambda s, x: s.at[idx].set(x), state.storage, flatten_items(batch)
         )
-        return ReplayState(storage=storage, cursor=state.cursor + lanes)
+        return state.replace(storage=storage, cursor=state.cursor + lanes)
 
     # ----------------------------------------------------------------- sample
     def _sampleable_range(self, state: ReplayState):
@@ -156,16 +212,25 @@ class ReplayBuffer:
         # Bootstrap obs is next_obs of the last folded step.
         last = win[jnp.arange(win.shape[0]), k - 1]
 
-        obs = jax.tree.map(lambda x: x[first], st.obs)
+        shapes = state.item_shapes
+        obs = unflatten_items(
+            jax.tree.map(lambda x: x[first], st.obs), shapes.obs
+        )
         if self.store_next_obs:
-            next_obs = jax.tree.map(lambda x: x[last], st.next_obs)
+            next_obs = unflatten_items(
+                jax.tree.map(lambda x: x[last], st.next_obs), shapes.next_obs
+            )
         else:
             nxt = (last + stride) % self.capacity
-            next_obs = jax.tree.map(lambda x: x[nxt], st.obs)
-        extras = jax.tree.map(lambda x: x[first], st.extras)
+            next_obs = unflatten_items(
+                jax.tree.map(lambda x: x[nxt], st.obs), shapes.obs
+            )
+        extras = unflatten_items(
+            jax.tree.map(lambda x: x[first], st.extras), shapes.extras
+        )
         return TransitionBatch(
             obs=obs,
-            action=st.action[first],
+            action=unflatten_items(st.action[first], shapes.action),
             reward=folded_reward,
             next_obs=next_obs,
             discount=discount,
@@ -187,6 +252,21 @@ class ReplayBuffer:
     ) -> ReplayState:
         del ids, priorities
         return state
+
+    # ------------------------------------------------------- storage split
+    # The transition storage is orders of magnitude larger than the rest of
+    # the state (GBs of uint8 frames vs scalars/trees). XLA cannot alias
+    # large buffers through ``lax.cond``/``fori_loop`` carries whose branches
+    # differ, so a carried ReplayState forces a full ring copy per step —
+    # HBM-bandwidth death. The runner therefore carries only the *light*
+    # state through gated/looped update control flow and closes over the
+    # storage read-only (writes happen in ``add``, outside those regions).
+    def split_storage(self, state):
+        """-> (light_state, storage). Zero-cost pytree reshuffle."""
+        return state.replace(storage=None), state.storage
+
+    def merge_storage(self, light, storage):
+        return light.replace(storage=storage)
 
     def __len__(self):
         raise TypeError("ReplayBuffer is stateless; use state.size")
