@@ -56,6 +56,32 @@ def _identity(x):
     return x
 
 
+def _collate_obs(batch_obs):
+    """Collate driver observations into a (possibly pytree) numpy batch.
+
+    The reference supports structured observations through
+    ``batch_states``'s recursive stacking (pfrl/utils/batch_states.py:18-36);
+    here a python list of pytree observations (e.g. the grasping example's
+    ``(image, elapsed_steps)`` tuples) stacks leaf-wise, while plain arrays
+    pass through untouched.
+    """
+    if isinstance(batch_obs, (np.ndarray, jax.Array)):
+        return np.asarray(batch_obs)
+    if (
+        isinstance(batch_obs, (list, tuple))
+        and len(batch_obs) > 0
+        and isinstance(batch_obs[0], (tuple, list, dict))
+    ):
+        return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                            *batch_obs)
+    return np.asarray(batch_obs)
+
+
+def _to_device(obs):
+    """Host pytree -> device pytree (single transfer per leaf)."""
+    return jax.tree.map(jnp.asarray, obs)
+
+
 class DQNCore:
     """Pure DQN algorithm core.
 
@@ -242,9 +268,9 @@ class DQN(AttributeSavingMixin, BatchAgent):
         self.rng, out = jax.random.split(self.rng)
         return out
 
-    def _ensure_init(self, batch_obs: np.ndarray) -> None:
+    def _ensure_init(self, batch_obs) -> None:
         if self.train_state is None:
-            self.train_state = self.core.init(self._next_rng(), jnp.asarray(batch_obs))
+            self.train_state = self.core.init(self._next_rng(), _to_device(batch_obs))
         if self._jit_act is None:
             self._jit_act = jax.jit(
                 self.core.select_action, static_argnames=("training",)
@@ -272,12 +298,12 @@ class DQN(AttributeSavingMixin, BatchAgent):
 
     # ------------------------------------------------------------------- act
     def batch_act(self, batch_obs):
-        batch_obs = np.asarray(batch_obs)
+        batch_obs = _collate_obs(batch_obs)
         self._ensure_init(batch_obs)
         actions = self._jit_act(
             self.train_state,
             self._next_rng(),
-            jnp.asarray(batch_obs),
+            _to_device(batch_obs),
             jnp.asarray(self.t, jnp.int32),
             self.training,
         )
@@ -290,15 +316,15 @@ class DQN(AttributeSavingMixin, BatchAgent):
     def batch_observe(self, batch_obs, batch_reward, batch_done, batch_reset):
         if not self.training:
             return
-        batch_obs = np.asarray(batch_obs)
-        b = batch_obs.shape[0]
+        batch_obs = _collate_obs(batch_obs)
         done = np.asarray(batch_done, dtype=bool)
+        b = done.shape[0]
         reset = np.asarray(batch_reset, dtype=bool)
         transition = Transition(
-            obs=jnp.asarray(self._last_obs),
+            obs=_to_device(self._last_obs),
             action=jnp.asarray(self._last_action),
             reward=jnp.asarray(batch_reward, jnp.float32),
-            next_obs=jnp.asarray(batch_obs),
+            next_obs=_to_device(batch_obs),
             terminated=jnp.asarray(done),
             done=jnp.asarray(done | reset),
             extras=FrozenDict(),
@@ -367,7 +393,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
         the latest published snapshot (never blocks on the learner)."""
         with self._init_lock:
             if self.train_state is None or self._jit_act is None:
-                self._ensure_init(np.asarray(obs_batch))
+                self._ensure_init(jax.tree.map(np.asarray, obs_batch))
                 self._initialized_event.set()
         train_state = (
             self._actor_train_state
@@ -377,7 +403,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
         return self._jit_act(
             train_state,
             jax.random.PRNGKey(seed),
-            jnp.asarray(obs_batch),
+            _to_device(obs_batch),
             jnp.asarray(t, jnp.int32),
             training,
         )
@@ -411,14 +437,17 @@ class DQN(AttributeSavingMixin, BatchAgent):
                     self._cumulative_steps_counter.increment()
                 while all(staging):
                     rows = [staging[i].popleft() for i in range(n)]
+                    stack = lambda *xs: jnp.asarray(
+                        np.stack([np.asarray(x) for x in xs])
+                    )
                     transition = Transition(
-                        obs=jnp.asarray(np.stack([r["obs"] for r in rows])),
+                        obs=jax.tree.map(stack, *[r["obs"] for r in rows]),
                         action=jnp.asarray(np.stack([r["action"] for r in rows])),
                         reward=jnp.asarray(
                             np.asarray([r["reward"] for r in rows], np.float32)
                         ),
-                        next_obs=jnp.asarray(
-                            np.stack([r["next_obs"] for r in rows])
+                        next_obs=jax.tree.map(
+                            stack, *[r["next_obs"] for r in rows]
                         ),
                         terminated=jnp.asarray(
                             np.asarray([r["terminated"] for r in rows], bool)

@@ -1,0 +1,19 @@
+"""Small context managers (reference parity: pfrl/utils/contexts.py)."""
+
+import contextlib
+
+
+@contextlib.contextmanager
+def set_temporarily(obj, attr, value):
+    """Temporarily set ``obj.attr = value`` inside a ``with`` block.
+
+    Used by eval-mode switches on host agent shells (the on-device cores
+    are pure functions and take an explicit ``greedy`` flag instead).
+    Reference: pfrl/utils/contexts.py.
+    """
+    old = getattr(obj, attr)
+    setattr(obj, attr, value)
+    try:
+        yield
+    finally:
+        setattr(obj, attr, old)

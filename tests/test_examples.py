@@ -136,3 +136,37 @@ def test_a2c_ale_sim_example():
         ["--sim", "--steps", "2000", "--num-envs", "8"],
     )
     assert "env-steps/s" in out
+
+
+@pytest.mark.slow
+def test_slimevolley_rainbow_example(tmp_path):
+    run_example(
+        "examples/slimevolley/train_rainbow.py",
+        ["--steps", "300", "--replay-start-size", "64",
+         "--eval-interval", "200", "--outdir", str(tmp_path)],
+    )
+    assert (tmp_path / "scores.txt").exists()
+
+
+@pytest.mark.slow
+def test_atlas_sac_example(tmp_path):
+    run_example(
+        "examples/atlas/train_soft_actor_critic_atlas.py",
+        ["--steps", "200", "--num-envs", "2", "--serial-envs",
+         "--replay-start-size", "32", "--eval-interval", "150",
+         "--eval-n-runs", "2", "--outdir", str(tmp_path)],
+    )
+    assert (tmp_path / "scores.txt").exists()
+
+
+@pytest.mark.slow
+def test_grasping_dqn_batch_example(tmp_path):
+    """Also covers pytree (tuple image+steps) observations end to end."""
+    run_example(
+        "examples/grasping/train_dqn_batch_grasping.py",
+        ["--steps", "400", "--num-envs", "2", "--serial-envs",
+         "--replay-start-size", "64", "--replay-capacity", "2000",
+         "--eval-interval", "300", "--eval-n-runs", "3",
+         "--outdir", str(tmp_path)],
+    )
+    assert (tmp_path / "scores.txt").exists()
