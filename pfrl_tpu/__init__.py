@@ -32,8 +32,11 @@ from pfrl_tpu import ops  # noqa: F401
 from pfrl_tpu import optimizers  # noqa: F401
 from pfrl_tpu import parallel  # noqa: F401
 from pfrl_tpu import policies  # noqa: F401
+from pfrl_tpu import policy  # noqa: F401
+from pfrl_tpu import q_function  # noqa: F401
 from pfrl_tpu import q_functions  # noqa: F401
 from pfrl_tpu import replay  # noqa: F401
+from pfrl_tpu import replay_buffers as replay_buffer  # noqa: F401  (pfrl name)
 from pfrl_tpu import replay_buffers  # noqa: F401  (alias of replay)
 from pfrl_tpu import utils  # noqa: F401
 from pfrl_tpu import wrappers  # noqa: F401
