@@ -36,7 +36,7 @@ from pfrl_tpu import policy  # noqa: F401
 from pfrl_tpu import q_function  # noqa: F401
 from pfrl_tpu import q_functions  # noqa: F401
 from pfrl_tpu import replay  # noqa: F401
-from pfrl_tpu import replay_buffers as replay_buffer  # noqa: F401  (pfrl name)
+from pfrl_tpu import replay_buffer  # noqa: F401  (pfrl name; real shim module)
 from pfrl_tpu import replay_buffers  # noqa: F401  (alias of replay)
 from pfrl_tpu import utils  # noqa: F401
 from pfrl_tpu import wrappers  # noqa: F401
