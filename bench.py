@@ -1,24 +1,30 @@
-"""Benchmark: Nature-DQN Atari-class training throughput on one TPU chip.
+"""Benchmark: the reference's three headline workloads on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. Top-level metric = the DQN/Atari anchor (the
+reference's flagship workload); the other two north-star anchors
+(BASELINE.md derived-throughput table) ride in ``anchors``:
 
-Workload: the reference's headline workload shape — Nature DQN
-(LargeAtariCNN over 84x84x4 uint8 frames, batch 32, one gradient step per 4
-env transitions, target sync every 10k) — run as the fused on-device
-actor-learner loop over 64 env lanes with a 100k-frame uint8 device replay.
-The env is the synthetic AtariSim (pfrl_tpu/envs/atari_sim.py): ALE
-emulation is a host-CPU workload in every framework, so the bench measures
-what the chip does — act forward, replay, CNN fwd+bwd, target sync — at the
-real shapes.
+  - dqn:  Nature DQN, LargeAtariCNN over 84x84x4 uint8, batch 32 per 4 env
+          transitions, 64 lanes, 100k uint8 device replay (AtariSim).
+          PFRL: ~160 env-steps/s/GPU (50M steps / 3.613 days,
+          examples/atari/reproduction/dqn/README.md:132).
+  - ppo:  MuJoCo-shape PPO — twin (64,64) tanh towers on obs[17]/act[6],
+          2048-step rollouts, 10 epochs x batch 64 (MujocoSim).
+          PFRL: ~200 env-steps/s (2M steps / ~2.8 h, ppo/README.md:68-71).
+  - sac:  MuJoCo-shape SAC — (256,256) MLPs, twin critics, learned
+          temperature, 1 update (batch 256) per env transition.
+          PFRL: ~85 env-steps/s (1M steps / ~3.2 h, td3/README.md:93-99 and
+          soft_actor_critic/README.md).
 
-Baseline: PFRL DQN sustains ~160 env-steps/s on one GPU at this exact
-configuration (50M steps / 3.613 days, examples/atari/reproduction/dqn/
-README.md:132; BASELINE.md). vs_baseline = value / 160.
+``pallas_ab`` reports the replay-kernel A/B (VERDICT r1 item 1): fused
+Pallas gather+dequantize vs the XLA gather path, and the streaming PER
+prefix-sample kernel vs the tree descent, at the Atari configuration.
+(Measured: XLA wins at these shapes, so the buffers default to XLA and the
+Pallas kernels are explicit opt-in — see pfrl_tpu/ops/pallas_kernels.py.)
 
 A watchdog guards against the TPU tunnel's known hang mode: if the bench
-cannot finish in time it emits value 0 and exits nonzero instead of hanging
-the driver.
+cannot finish in time it emits whatever anchors completed (value 0 if none)
+and exits nonzero instead of hanging the driver.
 """
 
 import json
@@ -26,44 +32,57 @@ import os
 import threading
 import time
 
-# Persistent compile cache: the axon remote-compile path takes minutes for
-# the conv training program; cache the returned executable locally. Must be
-# set before jax import.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BASELINE_STEPS_PER_SEC = 160.0
-WATCHDOG_SECS = 480.0
+BASELINES = {"dqn": 160.0, "ppo": 200.0, "sac": 85.0}
+WATCHDOG_SECS = 560.0
+_START = time.time()
+_RESULTS = {}
 
 
-def _emit(value, vs_baseline, extra=None, fail=False):
+def _emit(fail=False):
+    dqn = _RESULTS.get("dqn", {}).get("value", 0.0)
     line = {
         "metric": "dqn_atari_env_steps_per_sec_per_chip",
-        "value": round(float(value), 1),
+        "value": round(float(dqn), 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(float(vs_baseline), 2),
+        "vs_baseline": round(float(dqn) / BASELINES["dqn"], 2),
     }
-    if extra:
-        line.update(extra)
+    anchors = {}
+    for k, v in _RESULTS.items():
+        if k in BASELINES:
+            anchors[k] = {
+                "value": round(float(v["value"]), 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(float(v["value"]) / BASELINES[k], 2),
+                **{kk: vv for kk, vv in v.items() if kk != "value"},
+            }
+    line["anchors"] = anchors
+    if "pallas_ab" in _RESULTS:
+        line["pallas_ab"] = _RESULTS["pallas_ab"]
+    if fail:
+        line["note"] = "watchdog: TPU dispatch hung"
     print(json.dumps(line), flush=True)
     if fail:
         os._exit(1)
 
 
 def _watchdog():
-    _emit(0.0, 0.0, extra={"note": "watchdog: TPU dispatch hung"}, fail=True)
+    _emit(fail=True)
 
 
-def main():
-    timer = threading.Timer(WATCHDOG_SECS, _watchdog)
-    timer.daemon = True
-    timer.start()
+def _remaining():
+    return WATCHDOG_SECS - (time.time() - _START) - 20.0
 
+
+def bench_dqn():
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
+    import flax.linen as nn
 
     from pfrl_tpu.agents import DQNCore
     from pfrl_tpu.envs import AtariSim
@@ -72,18 +91,15 @@ def main():
     from pfrl_tpu.models import LargeAtariCNN
     from pfrl_tpu.q_functions import DiscreteActionValueHead
     from pfrl_tpu.replay import ReplayBuffer
+    from pfrl_tpu.utils import atari_phi
 
-    import flax.linen as nn
-
-    n_actions = 6
-    num_envs = 64
+    n_actions, num_envs = 6, 64
 
     class NatureQ(nn.Module):
         @nn.compact
         def __call__(self, x):
             h = LargeAtariCNN()(x)
-            q = nn.Dense(n_actions)(h)
-            return DiscreteActionValueHead()(q)
+            return DiscreteActionValueHead()(nn.Dense(n_actions)(h))
 
     core = DQNCore(
         model=NatureQ(),
@@ -91,7 +107,7 @@ def main():
         explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 1_000_000, n_actions),
         gamma=0.99,
         batch_accumulator="sum",
-        phi=lambda x: x.astype(jnp.float32) / 255.0,
+        phi=atari_phi,
     )
     # Nature-DQN cadence: 1 update (batch 32) per 4 env transitions.
     cfg = RunnerConfig(
@@ -105,39 +121,226 @@ def main():
         AtariSim(n_actions=n_actions),
         core,
         ReplayBuffer(
-            100_000, gamma=0.99, num_lanes=num_envs, store_next_obs=False
+            100_000,
+            gamma=0.99,
+            num_lanes=num_envs,
+            store_next_obs=False,
+            fused_dequant_scale=1.0 / 255.0,   # dequantize inside the sample gather
         ),
         cfg,
     )
     state = runner.init(jax.random.PRNGKey(0))
-
-    chunk_steps = 200  # x 64 lanes = 12.8k transitions (+ 3.2k updates) per chunk
-    # Warmup: compile + fill replay past replay_start_size.
-    state, metrics = runner.run_chunk(state, chunk_steps)
+    chunk_steps = 200
+    state, metrics = runner.run_chunk(state, chunk_steps)  # compile + fill
     float(np.asarray(metrics["loss"][-1]))
-
     n_chunks = 5
     t0 = time.time()
     for _ in range(n_chunks):
         state, metrics = runner.run_chunk(state, chunk_steps)
-    # Force a real device->host fetch; block_until_ready alone has been
-    # observed to return early through the axon tunnel.
     final_loss = float(np.asarray(metrics["loss"][-1]))
     elapsed = time.time() - t0
     assert np.isfinite(final_loss)
+    sps = n_chunks * chunk_steps * num_envs / elapsed
+    _RESULTS["dqn"] = {
+        "value": sps,
+        "workload": "NatureCNN 84x84x4 uint8, batch32 per 4 steps, 64 lanes,"
+        " 100k uint8 device replay, fused gather+dequant (AtariSim)",
+        "updates_per_sec": round(sps / 4, 1),
+    }
 
-    transitions = n_chunks * chunk_steps * num_envs
-    steps_per_sec = transitions / elapsed
-    timer.cancel()
-    _emit(
-        steps_per_sec,
-        steps_per_sec / BASELINE_STEPS_PER_SEC,
-        extra={
-            "workload": "NatureCNN 84x84x4 uint8, batch32 per 4 steps, "
-            "64 lanes, 100k uint8 device replay (AtariSim)",
-            "updates_per_sec": round(steps_per_sec / 4, 1),
-        },
+
+def bench_ppo():
+    import jax
+    import numpy as np
+    import optax
+    import flax.linen as nn
+
+    from pfrl_tpu.agents.ppo import PPOCore
+    from pfrl_tpu.envs import MujocoSim
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+
+    act_dim, num_envs, rollout = 6, 8, 256  # 2048 transitions/iteration
+
+    class PiV(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            hp = nn.tanh(nn.Dense(64)(x))
+            hp = nn.tanh(nn.Dense(64)(hp))
+            mean = nn.Dense(act_dim)(hp)
+            dist = GaussianHeadWithStateIndependentCovariance(
+                action_size=act_dim
+            )(mean)
+            hv = nn.tanh(nn.Dense(64)(x))
+            hv = nn.tanh(nn.Dense(64)(hv))
+            return dist, nn.Dense(1)(hv)
+
+    core = PPOCore(
+        PiV(),
+        optax.adam(3e-4),
+        epochs=10,
+        minibatch_size=64,
+        entropy_coef=0.0,
+        standardize_advantages=True,
     )
+    runner = OnPolicyRunner(MujocoSim(), core, num_envs, rollout)
+    state = runner.init(jax.random.PRNGKey(0))
+    state, aux = runner.run_iterations(state, 1)  # compile
+    jax.block_until_ready(aux)
+    n_iter = 10
+    t0 = time.time()
+    state, aux = runner.run_iterations(state, n_iter)
+    float(np.asarray(jax.tree.leaves(aux)[0]).ravel()[-1])
+    elapsed = time.time() - t0
+    sps = n_iter * rollout * num_envs / elapsed
+    _RESULTS["ppo"] = {
+        "value": sps,
+        "workload": "obs17/act6 MLP(64,64)x2, 2048-step rollout, "
+        "10 epochs x batch 64 (MujocoSim)",
+    }
+
+
+def bench_sac():
+    import jax
+    import numpy as np
+    import optax
+    import flax.linen as nn
+
+    from pfrl_tpu.agents.soft_actor_critic import SACCore
+    from pfrl_tpu.envs import MujocoSim
+    from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import SquashedGaussianHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+    from pfrl_tpu.replay import ReplayBuffer
+
+    act_dim, num_envs = 6, 32
+
+    class Policy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = MLP(out_size=2 * act_dim, hidden_sizes=(256, 256))(x)
+            return SquashedGaussianHead(action_size=act_dim)(h)
+
+    def qf():
+        return FCSAQFunction(n_hidden_layers=2, n_hidden_channels=256)
+
+    core = SACCore(
+        policy=Policy(),
+        q_func1=qf(),
+        q_func2=qf(),
+        policy_optimizer=optax.adam(3e-4),
+        q_func1_optimizer=optax.adam(3e-4),
+        q_func2_optimizer=optax.adam(3e-4),
+        gamma=0.99,
+        entropy_target=-float(act_dim),
+    )
+    # Reference cadence: one batch-256 update per env transition
+    # (soft_actor_critic reproduction README): L lanes -> L updates/scan-step.
+    cfg = RunnerConfig(
+        num_envs=num_envs,
+        replay_start_size=1_000,
+        update_interval=1,
+        n_times_update=1,
+        minibatch_size=256,
+    )
+    runner = OffPolicyRunner(
+        MujocoSim(),
+        core,
+        ReplayBuffer(100_000, gamma=0.99, num_lanes=num_envs),
+        cfg,
+    )
+    state = runner.init(jax.random.PRNGKey(0))
+    state, metrics = runner.run_chunk(state, 64)  # compile + warmup
+    jax.block_until_ready(metrics)
+    n_steps = 200
+    t0 = time.time()
+    state, metrics = runner.run_chunk(state, n_steps)
+    float(np.asarray(jax.tree.leaves(metrics)[0]).ravel()[-1])
+    elapsed = time.time() - t0
+    sps = n_steps * num_envs / elapsed
+    _RESULTS["sac"] = {
+        "value": sps,
+        "workload": "obs17/act6 SAC (256,256), twin critics + learned temp, "
+        "1 update (batch 256) per env transition (MujocoSim)",
+        "updates_per_sec": round(sps, 1),
+    }
+
+
+def bench_pallas_ab():
+    """Replay-kernel A/B at the Atari config, µs per op (lower = better)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pfrl_tpu.ops import pallas_kernels as pk
+    from pfrl_tpu.replay import sum_tree
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return
+
+    def timeit(fn, *args, reps=50):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / reps * 1e6
+
+    # Fused gather+dequant: 100k-row uint8 ring, 221x128 rows, batch 32.
+    cap, rows, batch = 100_000, 221, 32
+    storage = jnp.ones((cap, rows, 128), jnp.uint8)
+    ids = jnp.arange(batch, dtype=jnp.int32) * 771
+    gather_pl = timeit(
+        lambda s, i: pk.gather_rows_dequantize_pallas(
+            s, i, scale=1 / 255.0, out_dtype=jnp.float32
+        ),
+        storage,
+        ids,
+    )
+    flat = storage.reshape(cap, rows * 128)
+    gather_xla = timeit(
+        jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0)), flat, ids
+    )
+
+    # PER sampling: 131072-leaf tree, batch 32.
+    cap_t = 131_072
+    prio = jax.random.uniform(jax.random.PRNGKey(0), (cap_t,)) + 0.01
+    tree = sum_tree.update(
+        sum_tree.init_tree(cap_t), jnp.arange(cap_t), prio
+    )
+    targets = jax.random.uniform(
+        jax.random.PRNGKey(1), (batch,), maxval=float(sum_tree.total(tree)) * 0.999
+    )
+    sample_pl = timeit(
+        lambda p, t: pk.prefix_sample_pallas(p, t), tree[cap_t:], targets
+    )
+    sample_xla = timeit(
+        jax.jit(sum_tree.sample_from_prefix), tree, targets
+    )
+    _RESULTS["pallas_ab"] = {
+        "gather_dequant_us": {"pallas": round(gather_pl, 1), "xla": round(gather_xla, 1)},
+        "per_prefix_sample_us": {"pallas": round(sample_pl, 1), "xla_descent": round(sample_xla, 1)},
+    }
+
+
+def main():
+    timer = threading.Timer(WATCHDOG_SECS, _watchdog)
+    timer.daemon = True
+    timer.start()
+    for name, fn in [
+        ("dqn", bench_dqn),
+        ("ppo", bench_ppo),
+        ("sac", bench_sac),
+        ("pallas_ab", bench_pallas_ab),
+    ]:
+        if name != "dqn" and _remaining() < 90:
+            break
+        fn()
+    timer.cancel()
+    _emit()
 
 
 if __name__ == "__main__":

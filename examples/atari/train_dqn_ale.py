@@ -27,8 +27,9 @@ from pfrl_tpu.models import LargeAtariCNN, SmallAtariCNN, to_factorized_noisy
 from pfrl_tpu.q_functions import DiscreteActionValueHead, DuelingDQN
 
 
-def phi(x):
-    return x.astype(jnp.float32) / 255.0
+# Dtype-aware: uint8 frames scale to [0,1]; float input (already
+# dequantized by the replay buffer's fused Pallas gather) passes through.
+from pfrl_tpu.utils import atari_phi as phi  # noqa: E402
 
 
 class ConvQ(nn.Module):
@@ -84,6 +85,7 @@ def build_core_and_buffer(n_actions, args):
             gamma=0.99,
             num_lanes=args.num_envs,
             store_next_obs=False,
+            fused_dequant_scale=1.0 / 255.0,
         )
     else:
         buffer = replay_buffers.ReplayBuffer(
@@ -92,6 +94,7 @@ def build_core_and_buffer(n_actions, args):
             gamma=0.99,
             num_lanes=args.num_envs,
             store_next_obs=False,
+            fused_dequant_scale=1.0 / 255.0,
         )
     return core, buffer
 

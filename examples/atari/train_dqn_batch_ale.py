@@ -30,8 +30,9 @@ from pfrl_tpu.models import LargeAtariCNN
 from pfrl_tpu.q_functions import DiscreteActionValueHead
 
 
-def phi(x):
-    return x.astype(jnp.float32) / 255.0
+# Dtype-aware: uint8 frames scale to [0,1]; float input (already
+# dequantized by the replay buffer's fused Pallas gather) passes through.
+from pfrl_tpu.utils import atari_phi as phi  # noqa: E402
 
 
 class NatureQ(nn.Module):
@@ -49,7 +50,7 @@ def build_agent(n_actions, num_lanes, args):
         optimizer=optax.adam(args.lr, eps=1.5e-4),
         replay_buffer=replay_buffers.ReplayBuffer(
             args.replay_capacity, gamma=0.99, num_lanes=num_lanes,
-            store_next_obs=False,
+            store_next_obs=False, fused_dequant_scale=1.0 / 255.0,
         ),
         gamma=0.99,
         explorer=explorers.LinearDecayEpsilonGreedy(

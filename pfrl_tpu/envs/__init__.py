@@ -7,6 +7,7 @@ the whole actor-learner loop can run under one jit.
 
 from pfrl_tpu.envs.abc import ABC
 from pfrl_tpu.envs.atari_sim import AtariSim
+from pfrl_tpu.envs.mujoco_sim import MujocoSim
 from pfrl_tpu.envs.cartpole import CartPole
 from pfrl_tpu.envs.mountain_car import MountainCarContinuous
 from pfrl_tpu.envs.pendulum import Pendulum
@@ -19,6 +20,7 @@ from pfrl_tpu.envs.wrappers import TimeLimit
 __all__ = [
     "ABC",
     "AtariSim",
+    "MujocoSim",
     "HostJaxEnv",
     "CartPole",
     "MountainCarContinuous",

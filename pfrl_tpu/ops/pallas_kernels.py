@@ -24,6 +24,17 @@ TPU runs. Reference behavior being replaced: the torch ``.sample`` +
 ``batch_states``/``phi`` pipeline (pfrl/replay_buffer.py:157-212,
 pfrl/agents/dqn.py:475-488) and the pointer sum-tree descent
 (pfrl/collections/prioritized.py:126-232).
+
+Measured verdict (TPU, Atari reference config; see bench.py pallas_ab):
+XLA wins at these shapes — gather+dequant 31 µs (XLA) vs 41 µs (pallas) at
+batch 32 x 28 KB rows, PER prefix sample 606 µs (descent) vs 756 µs
+(streaming kernel) at 131072 leaves; and inside the fused training scan the
+pallas custom-call additionally defeats XLA's aliasing of the multi-GB
+replay ring (67x end-to-end regression). The replay buffers therefore
+default to the XLA paths (``use_pallas="auto"``) and take these kernels
+only on explicit ``use_pallas=True``; the kernels remain the building
+block for shapes where one-pass fusion pays (bigger batches, wider
+sampling fan-out).
 """
 
 import functools
@@ -48,6 +59,10 @@ def _gather_dequant_kernel(scale, ids_ref, row_ref, out_ref):
     # consumed by the index map only.
     del ids_ref
     row = row_ref[:]
+    if scale == 1.0 and row.dtype == out_ref.dtype:
+        # Pure gather (no dequantize): straight VMEM copy.
+        out_ref[:] = row
+        return
     if row.dtype == jnp.uint8:
         # Mosaic has no direct uint8->float cast; widen through int32.
         row = row.astype(jnp.int32)
@@ -98,9 +113,11 @@ def gather_rows_dequantize_pallas(
 
 
 def gather_rows_dequantize(storage, ids, *, scale=1.0 / 255.0, out_dtype=jnp.float32):
-    """Auto-dispatch: Pallas kernel on TPU, pure-XLA gather elsewhere.
+    """Pallas kernel on TPU, pure-XLA gather elsewhere.
 
     ``storage`` must be ``[capacity, R, 128]`` (see the kernel docstring).
+    Explicit-opt-in helper: the replay buffers default to XLA (see module
+    docstring's measured verdict).
     """
     if _on_tpu():
         return gather_rows_dequantize_pallas(
@@ -216,7 +233,11 @@ def prefix_sample_reference(priorities: jax.Array, targets: jax.Array) -> jax.Ar
 
 
 def prefix_sample(priorities, targets):
-    """Auto-dispatch: fused single-pass Pallas kernel on TPU, XLA elsewhere."""
+    """Fused single-pass Pallas kernel on TPU, XLA elsewhere.
+
+    Explicit-opt-in helper: the PER buffer defaults to the tree descent
+    (see module docstring's measured verdict).
+    """
     if (
         _on_tpu()
         and priorities.shape[0] % _CHUNK == 0

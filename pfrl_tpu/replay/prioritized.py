@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from pfrl_tpu.ops import pallas_kernels
 from pfrl_tpu.replay import sum_tree
 from pfrl_tpu.replay.transition import Transition, TransitionBatch
 from pfrl_tpu.replay.uniform import ReplayBuffer, ReplayState
@@ -57,6 +58,8 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         gamma: float = 0.99,
         num_lanes: int = 1,
         store_next_obs: bool = True,
+        use_pallas: object = "auto",
+        fused_dequant_scale: Optional[float] = None,
     ):
         super().__init__(
             capacity,
@@ -64,6 +67,8 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             gamma=gamma,
             num_lanes=num_lanes,
             store_next_obs=store_next_obs,
+            use_pallas=use_pallas,
+            fused_dequant_scale=fused_dequant_scale,
         )
         if normalize_by_max is True:
             normalize_by_max = "batch"
@@ -91,6 +96,8 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             gamma=self.gamma,
             num_lanes=num_lanes,
             store_next_obs=self.store_next_obs,
+            use_pallas=self.use_pallas,
+            fused_dequant_scale=self.fused_dequant_scale,
         )
 
     # ------------------------------------------------------------------ init
@@ -148,11 +155,38 @@ class PrioritizedReplayBuffer(ReplayBuffer):
         )
 
     # ----------------------------------------------------------------- sample
+    def _find_slots(self, tree: jax.Array, targets: jax.Array) -> jax.Array:
+        """Prefix-sum target -> leaf slot.
+
+        Pallas streaming prefix kernel when enabled and shape-eligible
+        (leaf count a multiple of its 8192-element chunk, batch within its
+        VMEM budget); otherwise the log2(C)-gather tree descent. Both
+        return the leaf whose cumulative-priority interval contains each
+        target; zero-priority (held-out) leaves are never selected.
+        """
+        mode = self._pallas_mode()
+        batch = targets.shape[0]
+        cap = self.tree_capacity
+        if (
+            mode
+            and cap % pallas_kernels._CHUNK == 0
+            and batch <= pallas_kernels._MAX_PALLAS_BATCH
+        ):
+            leaves = tree[cap:]
+            idx = pallas_kernels.prefix_sample_pallas(
+                leaves, targets, interpret=mode == "interpret"
+            )
+            return jnp.minimum(idx, cap - 1)
+        return sum_tree.sample_from_prefix(tree, targets)
+
     def sample(
         self, state: PrioritizedReplayState, rng: jax.Array, batch_size: int
     ):
         """Returns (batch, new_state) — beta anneals per call."""
-        slots = sum_tree.stratified_sample(state.tree, rng, batch_size)
+        targets = sum_tree.stratified_targets(
+            sum_tree.total(state.tree), rng, batch_size
+        )
+        slots = self._find_slots(state.tree, targets)
         priorities = sum_tree.get(state.tree, slots)
         probs = priorities / sum_tree.total(state.tree)
 

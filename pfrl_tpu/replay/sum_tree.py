@@ -100,6 +100,17 @@ def min_value(tree: jax.Array) -> jax.Array:
     return tree[1]
 
 
+def stratified_targets(
+    total_mass: jax.Array, rng: jax.Array, batch_size: int
+) -> jax.Array:
+    """One uniform draw per equal-mass segment of ``[0, total_mass)``."""
+    bounds = jnp.linspace(0.0, 1.0, batch_size + 1)
+    u = jax.random.uniform(rng, (batch_size,))
+    targets = (bounds[:-1] + u * (bounds[1:] - bounds[:-1])) * total_mass
+    # Guard the open upper end (u==1.0 would fall off the last leaf).
+    return jnp.minimum(targets, total_mass * (1.0 - 1e-7))
+
+
 def stratified_sample(
     tree: jax.Array, rng: jax.Array, batch_size: int
 ) -> jax.Array:
@@ -112,10 +123,4 @@ def stratified_sample(
     one parallel gather (the PER paper's own scheme), so it is the
     TPU-native replacement.
     """
-    t = total(tree)
-    bounds = jnp.linspace(0.0, 1.0, batch_size + 1)
-    u = jax.random.uniform(rng, (batch_size,))
-    targets = (bounds[:-1] + u * (bounds[1:] - bounds[:-1])) * t
-    # Guard the open upper end (u==1.0 would fall off the last leaf).
-    targets = jnp.minimum(targets, t * (1.0 - 1e-7))
-    return sample_from_prefix(tree, targets)
+    return sample_from_prefix(tree, stratified_targets(total(tree), rng, batch_size))

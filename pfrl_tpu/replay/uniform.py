@@ -18,7 +18,21 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from pfrl_tpu.ops import pallas_kernels
 from pfrl_tpu.replay.transition import Transition, TransitionBatch
+
+
+def _padded_width(d: int) -> int:
+    """Flat item width as stored: 128-lane aligned for wide leaves.
+
+    Leaves of at least one full TPU lane row (128 elements) are padded to a
+    multiple of 128 so the Pallas gather kernel's [1, R, 128] row blocks
+    tile them exactly; the pad is write-only zeros, sliced off at gather.
+    Narrow leaves (scalars, actions) stay unpadded and take the XLA path.
+    """
+    if d < 128:
+        return d
+    return ((d + 127) // 128) * 128
 
 
 class ItemShape:
@@ -96,6 +110,8 @@ class ReplayBuffer:
         gamma: float = 0.99,
         num_lanes: int = 1,
         store_next_obs: bool = True,
+        use_pallas: object = "auto",
+        fused_dequant_scale: Optional[float] = None,
     ):
         """``store_next_obs=False`` halves observation memory: the bootstrap
         observation is read from the temporally-next ring slot instead of a
@@ -104,13 +120,42 @@ class ReplayBuffer:
         truncation boundaries the reset observation stands in for the true
         next observation — enable full storage where truncation bootstrap
         fidelity matters (MuJoCo-style continuing tasks).
+
+        ``use_pallas``: ``True`` opts into the Pallas replay kernels
+        (compiled on TPU, interpreter mode elsewhere — the correctness
+        tests run both modes); ``"auto"`` (default) and ``False`` use the
+        pure-XLA paths. Auto resolves to XLA deliberately: measured on TPU
+        at the Atari reference config (BENCH pallas_ab), XLA's gather is
+        already faster standalone (31 vs 41 µs), and inside the fused
+        training scan the pallas custom-call defeats XLA's buffer aliasing
+        on the multi-GB ring (measured 67x end-to-end regression). The
+        kernels stay available as the building block for configs where a
+        fused gather does pay (e.g. much larger batches).
+
+        ``fused_dequant_scale``: when set (e.g. ``1/255``), uint8
+        observation leaves are dequantized to ``float32 * scale`` inside
+        the sample gather itself — the Pallas fused gather+dequantize
+        kernel on TPU, an equivalent XLA gather+convert elsewhere — so the
+        agent's ``phi`` must be dtype-aware (skip scaling for float input;
+        see :func:`pfrl_tpu.utils.atari_phi`). Replaces the reference's
+        separate sample + ``phi`` passes (pfrl/replay_buffer.py:157-212,
+        pfrl/agents/dqn.py:475-488).
         """
         assert capacity >= num_lanes * (num_steps + (0 if store_next_obs else 1))
+        assert use_pallas in (True, False, "auto")
         self.num_lanes = num_lanes
         self.capacity = (capacity // num_lanes) * num_lanes
         self.num_steps = num_steps
         self.gamma = gamma
         self.store_next_obs = store_next_obs
+        self.use_pallas = use_pallas
+        self.fused_dequant_scale = fused_dequant_scale
+
+    def _pallas_mode(self) -> Optional[str]:
+        """None (XLA), "compiled", or "interpret" — resolved at trace time."""
+        if self.use_pallas is not True:
+            return None  # "auto" = XLA; see __init__ docstring for why
+        return "compiled" if jax.default_backend() == "tpu" else "interpret"
 
     def configure_lanes(self, num_lanes: int) -> "ReplayBuffer":
         """Return a copy reconfigured for a different env-batch width.
@@ -125,6 +170,8 @@ class ReplayBuffer:
             gamma=self.gamma,
             num_lanes=num_lanes,
             store_next_obs=self.store_next_obs,
+            use_pallas=self.use_pallas,
+            fused_dequant_scale=self.fused_dequant_scale,
         )
 
     # ------------------------------------------------------------------ init
@@ -139,7 +186,8 @@ class ReplayBuffer:
         )
         storage = jax.tree.map(
             lambda x: jnp.zeros(
-                (self.capacity, int(jnp.size(x))), jnp.result_type(x)
+                (self.capacity, _padded_width(int(jnp.size(x)))),
+                jnp.result_type(x),
             )
             if jnp.ndim(x) >= 1
             else jnp.zeros((self.capacity,), jnp.result_type(x)),
@@ -162,9 +210,13 @@ class ReplayBuffer:
             )
         lanes = jax.tree.leaves(batch)[0].shape[0]
         idx = (state.cursor + jnp.arange(lanes, dtype=jnp.int32)) % self.capacity
-        storage = jax.tree.map(
-            lambda s, x: s.at[idx].set(x), state.storage, flatten_items(batch)
-        )
+
+        def write(s, x):
+            if x.ndim == 2 and s.shape[1] != x.shape[1]:  # 128-lane pad
+                x = jnp.pad(x, ((0, 0), (0, s.shape[1] - x.shape[1])))
+            return s.at[idx].set(x)
+
+        storage = jax.tree.map(write, state.storage, flatten_items(batch))
         return state.replace(storage=storage, cursor=state.cursor + lanes)
 
     # ----------------------------------------------------------------- sample
@@ -184,6 +236,38 @@ class ReplayBuffer:
     ) -> jax.Array:
         lo, hi = self._sampleable_range(state)
         return lo + jax.random.randint(rng, (batch_size,), 0, jnp.maximum(hi - lo, 1))
+
+    def _take(self, x, ids, shape: ItemShape, dequant: bool = False):
+        """Gather rows ``x[ids]``, trimming 128-lane pad to the true item
+        width; optionally fused-dequantize uint8 -> float32 * scale.
+
+        Dispatches to the Pallas row-gather kernel
+        (:func:`pfrl_tpu.ops.pallas_kernels.gather_rows_dequantize_pallas`)
+        for padded wide leaves when enabled, else a plain XLA gather.
+        """
+        true_d = 1
+        for s in shape.shape:
+            true_d *= s
+        dq = dequant and self.fused_dequant_scale and x.dtype == jnp.uint8
+        mode = self._pallas_mode()
+        if mode and x.ndim == 2 and x.shape[1] >= 128 and x.shape[1] % 128 == 0:
+            scale = float(self.fused_dequant_scale) if dq else 1.0
+            out_dtype = jnp.float32 if dq else x.dtype
+            cap, d = x.shape
+            out = pallas_kernels.gather_rows_dequantize_pallas(
+                x.reshape(cap, d // 128, 128),
+                ids,
+                scale=scale,
+                out_dtype=out_dtype,
+                interpret=mode == "interpret",
+            ).reshape(ids.shape[0], d)
+            return out[:, :true_d] if true_d != d else out
+        out = x[ids]
+        if out.ndim == 2 and out.shape[1] != true_d:
+            out = out[:, :true_d]
+        if dq:
+            out = out.astype(jnp.float32) * self.fused_dequant_scale
+        return out
 
     def gather(self, state: ReplayState, ids: jax.Array) -> TransitionBatch:
         """Materialize an n-step-folded batch from monotonic ids."""
@@ -214,23 +298,43 @@ class ReplayBuffer:
 
         shapes = state.item_shapes
         obs = unflatten_items(
-            jax.tree.map(lambda x: x[first], st.obs), shapes.obs
+            jax.tree.map(
+                lambda x, s: self._take(x, first, s, dequant=True),
+                st.obs,
+                shapes.obs,
+            ),
+            shapes.obs,
         )
         if self.store_next_obs:
             next_obs = unflatten_items(
-                jax.tree.map(lambda x: x[last], st.next_obs), shapes.next_obs
+                jax.tree.map(
+                    lambda x, s: self._take(x, last, s, dequant=True),
+                    st.next_obs,
+                    shapes.next_obs,
+                ),
+                shapes.next_obs,
             )
         else:
             nxt = (last + stride) % self.capacity
             next_obs = unflatten_items(
-                jax.tree.map(lambda x: x[nxt], st.obs), shapes.obs
+                jax.tree.map(
+                    lambda x, s: self._take(x, nxt, s, dequant=True),
+                    st.obs,
+                    shapes.obs,
+                ),
+                shapes.obs,
             )
         extras = unflatten_items(
-            jax.tree.map(lambda x: x[first], st.extras), shapes.extras
+            jax.tree.map(
+                lambda x, s: self._take(x, first, s), st.extras, shapes.extras
+            ),
+            shapes.extras,
         )
         return TransitionBatch(
             obs=obs,
-            action=unflatten_items(st.action[first], shapes.action),
+            action=unflatten_items(
+                self._take(st.action, first, shapes.action), shapes.action
+            ),
             reward=folded_reward,
             next_obs=next_obs,
             discount=discount,

@@ -1,7 +1,7 @@
 """Shared utilities (reference parity: pfrl/utils/)."""
 
 from pfrl_tpu.utils.ask_yes_no import ask_yes_no
-from pfrl_tpu.utils.batch_states import batch_states
+from pfrl_tpu.utils.batch_states import atari_phi, batch_states
 from pfrl_tpu.utils.clip_l2_grad_norm import clip_l2_grad_norm
 from pfrl_tpu.utils.conjugate_gradient import conjugate_gradient
 from pfrl_tpu.utils.copy_param import (
@@ -32,6 +32,7 @@ from pfrl_tpu.utils.stoppable_thread import Counter, StoppableThread
 
 __all__ = [
     "ask_yes_no",
+    "atari_phi",
     "batch_states",
     "set_temporarily",
     "is_return_code_zero",
