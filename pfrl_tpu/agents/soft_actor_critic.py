@@ -19,6 +19,23 @@ from pfrl_tpu.replay.transition import TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
 
 
+def _twin_compatible(p1, p2) -> bool:
+    """True when two param trees share structure, shapes, and dtypes —
+    i.e. the twin critics are the same architecture and can be evaluated
+    as one vmapped stacked apply (see ``_apply_twin``)."""
+    try:
+        eq = jax.tree.map(
+            lambda a, b: a.shape == b.shape and a.dtype == b.dtype, p1, p2
+        )
+    except ValueError:
+        return False
+    return all(jax.tree.leaves(eq))
+
+
+def _stack_pair(t1, t2):
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), t1, t2)
+
+
 @struct.dataclass
 class SACState:
     policy_params: Any
@@ -69,6 +86,7 @@ class SACCore:
         self.burnin_steps = burnin_steps
         self.target_update_method = "soft"
         self.explorer = None
+        self._twin_fused = False
 
     def init(self, rng, example_obs, example_action) -> SACState:
         rng_p, rng_q1, rng_q2 = jax.random.split(rng, 3)
@@ -76,6 +94,7 @@ class SACCore:
         policy_params = self.policy.init(rng_p, x)
         q1 = self.q_func1.init(rng_q1, x, example_action)
         q2 = self.q_func2.init(rng_q2, x, example_action)
+        self._twin_fused = _twin_compatible(q1, q2)
         log_temp = jnp.asarray(jnp.log(self.initial_temperature), jnp.float32)
         return SACState(
             policy_params=policy_params,
@@ -105,6 +124,22 @@ class SACCore:
         return a
 
     # ---------------------------------------------------------------- update
+    def _apply_twin(self, p1, p2, x, a):
+        """Evaluate both critics; one vmapped stacked apply when fused.
+
+        With identical twin architectures the pair of [B] MLP applies
+        becomes a single [2, B] batched apply over stacked params — XLA
+        lowers each Dense to one batched matmul, halving the critic-path
+        op count (the SAC/TD3 update at MuJoCo shapes is op-count-bound,
+        not FLOP-bound, on TPU).
+        """
+        if self._twin_fused:
+            y = jax.vmap(lambda p: self.q_func1.apply(p, x, a))(
+                _stack_pair(p1, p2)
+            )
+            return y[0], y[1]
+        return self.q_func1.apply(p1, x, a), self.q_func2.apply(p2, x, a)
+
     def critic_losses(self, q1_params, q2_params, state, rng, batch):
         """Soft Bellman targets (soft_actor_critic.py:214-262)."""
         next_dist = self.policy.apply(state.policy_params, self.phi(batch.next_obs))
@@ -112,16 +147,16 @@ class SACCore:
         temp = jnp.exp(state.log_temperature)
         nx = self.phi(batch.next_obs)
         next_q = jnp.minimum(
-            self.q_func1.apply(state.target_q1_params, nx, next_a),
-            self.q_func2.apply(state.target_q2_params, nx, next_a),
+            *self._apply_twin(
+                state.target_q1_params, state.target_q2_params, nx, next_a
+            )
         )
         entropy_term = temp * next_log_pi
         t = batch.reward + batch.discount * (
             1.0 - batch.is_terminal.astype(jnp.float32)
         ) * jax.lax.stop_gradient(next_q - entropy_term)
         x = self.phi(batch.obs)
-        y1 = self.q_func1.apply(q1_params, x, batch.action)
-        y2 = self.q_func2.apply(q2_params, x, batch.action)
+        y1, y2 = self._apply_twin(q1_params, q2_params, x, batch.action)
         loss = compute_value_loss(y1, t, clip_delta=False) + compute_value_loss(
             y2, t, clip_delta=False
         )
@@ -134,8 +169,7 @@ class SACCore:
         a, log_pi = dist.sample_and_log_prob(rng)
         x = self.phi(batch.obs)
         q = jnp.minimum(
-            self.q_func1.apply(state.q1_params, x, a),
-            self.q_func2.apply(state.q2_params, x, a),
+            *self._apply_twin(state.q1_params, state.q2_params, x, a)
         )
         temp = jax.lax.stop_gradient(jnp.exp(log_temp))
         actor_loss = jnp.mean(temp * log_pi - q)

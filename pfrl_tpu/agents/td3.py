@@ -14,6 +14,7 @@ import optax
 from flax import struct
 
 from pfrl_tpu.agents.ddpg import ActorCriticShellAgent, _identity
+from pfrl_tpu.agents.soft_actor_critic import _stack_pair, _twin_compatible
 from pfrl_tpu.ops.value_loss import compute_value_loss
 from pfrl_tpu.replay.transition import TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
@@ -72,6 +73,7 @@ class TD3Core:
         self.burnin_action_func = burnin_action_func
         self.burnin_steps = burnin_steps
         self.target_update_method = "soft"
+        self._twin_fused = False
 
     def init(self, rng, example_obs, example_action) -> TD3State:
         rng_p, rng_q1, rng_q2 = jax.random.split(rng, 3)
@@ -79,6 +81,7 @@ class TD3Core:
         policy_params = self.policy.init(rng_p, x)
         q1 = self.q_func1.init(rng_q1, x, example_action)
         q2 = self.q_func2.init(rng_q2, x, example_action)
+        self._twin_fused = _twin_compatible(q1, q2)
         return TD3State(
             policy_params=policy_params,
             q1_params=q1,
@@ -111,6 +114,16 @@ class TD3Core:
         return a
 
     # ---------------------------------------------------------------- update
+    def _apply_twin(self, p1, p2, x, a):
+        """One vmapped stacked apply for identical twin critics (see
+        SACCore._apply_twin — halves the op count of the critic path)."""
+        if self._twin_fused:
+            y = jax.vmap(lambda p: self.q_func1.apply(p, x, a))(
+                _stack_pair(p1, p2)
+            )
+            return y[0], y[1]
+        return self.q_func1.apply(p1, x, a), self.q_func2.apply(p2, x, a)
+
     def critic_losses(self, q1_params, q2_params, state, rng, batch):
         next_dist = self.policy.apply(
             state.target_policy_params, self.phi(batch.next_obs)
@@ -118,15 +131,15 @@ class TD3Core:
         next_a = self.smoothing(rng, next_dist.mode())
         nx = self.phi(batch.next_obs)
         next_q = jnp.minimum(
-            self.q_func1.apply(state.target_q1_params, nx, next_a),
-            self.q_func2.apply(state.target_q2_params, nx, next_a),
+            *self._apply_twin(
+                state.target_q1_params, state.target_q2_params, nx, next_a
+            )
         )
         t = batch.reward + batch.discount * (
             1.0 - batch.is_terminal.astype(jnp.float32)
         ) * jax.lax.stop_gradient(next_q)
         x = self.phi(batch.obs)
-        y1 = self.q_func1.apply(q1_params, x, batch.action)
-        y2 = self.q_func2.apply(q2_params, x, batch.action)
+        y1, y2 = self._apply_twin(q1_params, q2_params, x, batch.action)
         loss = compute_value_loss(y1, t, clip_delta=False) + compute_value_loss(
             y2, t, clip_delta=False
         )
