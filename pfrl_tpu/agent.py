@@ -112,5 +112,32 @@ class AttributeSavingMixin:
             else:
                 path = os.path.join(dirname, f"{attr}.msgpack")
                 with open(path, "rb") as f:
-                    restored = serialization.from_bytes(jax.device_get(value), f.read())
+                    data = f.read()
+                if value is None:
+                    # Lazily-initialized attribute (shells build train_state
+                    # on first act/observe). Stash the bytes and apply after
+                    # lazy init so the reference's construct -> load -> act
+                    # flow works (pfrl agents can load right after
+                    # construction because torch modules exist eagerly).
+                    if not hasattr(self, "_pending_restores"):
+                        self._pending_restores = {}
+                    self._pending_restores[attr] = data
+                else:
+                    restored = serialization.from_bytes(
+                        jax.device_get(value), data
+                    )
+                    setattr(self, attr, jax.device_put(restored))
+
+    def _restore_pending(self) -> None:
+        """Apply stashed loads once lazily-built attributes exist. Shells
+        call this right after materializing ``train_state``."""
+        pending = getattr(self, "_pending_restores", None)
+        if not pending:
+            return
+        for attr in list(pending):
+            value = getattr(self, attr)
+            if value is not None:
+                restored = serialization.from_bytes(
+                    jax.device_get(value), pending.pop(attr)
+                )
                 setattr(self, attr, jax.device_put(restored))

@@ -235,6 +235,7 @@ class ActorCriticShellAgent(AttributeSavingMixin, BatchAgent):
             self.train_state = self.core.init(
                 self._next_rng(), jnp.asarray(batch_obs), example_a
             )
+            self._restore_pending()
             self._jit_act = jax.jit(
                 self.core.select_action, static_argnames=("training",)
             )

@@ -271,6 +271,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
     def _ensure_init(self, batch_obs) -> None:
         if self.train_state is None:
             self.train_state = self.core.init(self._next_rng(), _to_device(batch_obs))
+            self._restore_pending()
         if self._jit_act is None:
             self._jit_act = jax.jit(
                 self.core.select_action, static_argnames=("training",)

@@ -270,6 +270,7 @@ class OnPolicyShellAgent(AttributeSavingMixin, BatchAgent):
             self.train_state = self.core.init(
                 self._next_rng(), jnp.asarray(batch_obs)
             )
+            self._restore_pending()
             self._jit_act = jax.jit(
                 self.core.act_with_aux, static_argnames=("training",)
             )

@@ -153,6 +153,7 @@ class REINFORCE(AttributeSavingMixin, BatchAgent):
         batch_obs = np.asarray(batch_obs)
         if self.train_state is None:
             self.train_state = self.core.init(self._next_rng(), jnp.asarray(batch_obs))
+            self._restore_pending()
             self._jit_act = jax.jit(
                 self.core.select_action, static_argnames=("training",)
             )

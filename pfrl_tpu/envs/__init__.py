@@ -15,7 +15,7 @@ from pfrl_tpu.envs.host_adapter import HostJaxEnv
 from pfrl_tpu.envs.serial_vector_env import SerialVectorEnv
 from pfrl_tpu.envs.multiprocess_vector_env import MultiprocessVectorEnv
 from pfrl_tpu.envs.vector_jax_env import VectorJaxEnv
-from pfrl_tpu.envs.wrappers import TimeLimit
+from pfrl_tpu.envs.wrappers import NormalizeActionSpace, TimeLimit
 
 __all__ = [
     "ABC",
@@ -28,5 +28,6 @@ __all__ = [
     "SerialVectorEnv",
     "MultiprocessVectorEnv",
     "VectorJaxEnv",
+    "NormalizeActionSpace",
     "TimeLimit",
 ]

@@ -87,3 +87,31 @@ class CastObservationToFloat32(JaxEnv):
         return state, ts.replace(
             obs=jax.tree.map(lambda x: x.astype(jnp.float32), ts.obs)
         )
+
+
+class NormalizeActionSpace(JaxEnv):
+    """Present a [-1, 1] action space, rescaling to the inner env's bounds.
+
+    Device-env counterpart of the reference's NormalizeActionSpace
+    (pfrl/wrappers/normalize_action_space.py) — squashed policies emit in
+    (-1, 1); the wrapper maps affinely onto [low, high].
+    """
+
+    def __init__(self, env: JaxEnv):
+        from pfrl_tpu import spaces
+
+        self.env = env
+        self.observation_space = env.observation_space
+        inner = env.action_space
+        self._low = jnp.asarray(inner.low, jnp.float32)
+        self._high = jnp.asarray(inner.high, jnp.float32)
+        self.action_space = spaces.box(-1.0, 1.0, inner.shape)
+        self.max_episode_steps = getattr(env, "max_episode_steps", None)
+
+    def reset(self, rng):
+        return self.env.reset(rng)
+
+    def step(self, rng, state, action):
+        a = jnp.clip(action, -1.0, 1.0)
+        scaled = self._low + (a + 1.0) * 0.5 * (self._high - self._low)
+        return self.env.step(rng, state, scaled)
