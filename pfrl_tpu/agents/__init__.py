@@ -2,7 +2,7 @@
 
 from pfrl_tpu.agents.a2c import A2C, A2CCore
 from pfrl_tpu.agents.a3c import A3C, A3CCore
-from pfrl_tpu.agents.acer import ACERCore
+from pfrl_tpu.agents.acer import ACERContinuousCore, ACERCore, ACERSDNModel
 from pfrl_tpu.agents.al import AL, ALCore
 from pfrl_tpu.agents.categorical_dqn import (
     CategoricalDQN,
@@ -19,6 +19,7 @@ from pfrl_tpu.agents.pal import PAL, DoublePAL, DoublePALCore, PALCore
 from pfrl_tpu.agents.ppo import PPO, PPOCore
 from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
 from pfrl_tpu.agents.recurrent_iqn import RecurrentIQNCore
+from pfrl_tpu.agents.recurrent_ppo import RecurrentPPOCore
 from pfrl_tpu.agents.reinforce import REINFORCE, ReinforceCore
 from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
 from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
@@ -30,7 +31,9 @@ __all__ = [
     "A2CCore",
     "A3C",
     "A3CCore",
+    "ACERContinuousCore",
     "ACERCore",
+    "ACERSDNModel",
     "AL",
     "ALCore",
     "CategoricalDQN",
@@ -58,6 +61,7 @@ __all__ = [
     "PPOCore",
     "RecurrentDQNCore",
     "RecurrentIQNCore",
+    "RecurrentPPOCore",
     "REINFORCE",
     "ReinforceCore",
     "StateQFunctionActor",

@@ -41,7 +41,13 @@ class PPOState:
 
 @struct.dataclass
 class Rollout:
-    """Time-major on-policy rollout ``[T, B, ...]``."""
+    """Time-major on-policy rollout ``[T, B, ...]``.
+
+    ``carry``/``next_value`` are populated only on the recurrent path
+    (:class:`pfrl_tpu.agents.recurrent_ppo.RecurrentPPOCore`): the policy
+    carry as it was *before* acting at each step, and V(s_{t+1}) evaluated
+    with the post-step carry on the pre-reset next observation.
+    """
 
     obs: Any
     action: jax.Array
@@ -51,6 +57,8 @@ class Rollout:
     terminated: jax.Array
     done: jax.Array
     next_obs: Any
+    carry: Any = ()
+    next_value: Any = None
 
 
 class PPOCore:

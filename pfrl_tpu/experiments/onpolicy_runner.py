@@ -31,6 +31,7 @@ class OnPolicyRunnerState:
     episode_return: jax.Array
     recent_returns: jax.Array
     recent_count: jax.Array
+    act_state: Any = ()   # recurrent carry for carry-ful cores
 
 
 class OnPolicyRunner:
@@ -53,6 +54,11 @@ class OnPolicyRunner:
         rng, rng_env, rng_core = jax.random.split(rng, 3)
         env_states, obs = self.env.reset(rng_env)
         train_state = self.core.init(rng_core, obs)
+        act_state = (
+            self.core.init_act_state(self.num_envs)
+            if getattr(self.core, "recurrent", False)
+            else ()
+        )
         state = OnPolicyRunnerState(
             env_states=env_states,
             obs=obs,
@@ -62,6 +68,7 @@ class OnPolicyRunner:
             episode_return=jnp.zeros((self.num_envs,), jnp.float32),
             recent_returns=jnp.zeros((self.return_window,), jnp.float32),
             recent_count=jnp.zeros((), jnp.int32),
+            act_state=act_state,
         )
         # De-alias for donation (see OffPolicyRunner.init).
         return jax.tree.map(
@@ -71,11 +78,23 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------- iteration
     def _collect_step(self, carry, _):
-        (env_states, obs, train_state, rng, ep_ret, recent, count) = carry
+        (env_states, obs, train_state, rng, ep_ret, recent, count, act_state) = carry
         rng, rng_act, rng_env = jax.random.split(rng, 3)
-        action, aux = self.core.act_with_aux(train_state, rng_act, obs, True)
+        recurrent = getattr(self.core, "recurrent", False)
+        if recurrent:
+            pre_act_carry = act_state
+            action, aux, act_state = self.core.act_with_aux_recurrent(
+                train_state, rng_act, obs, True, act_state
+            )
+        else:
+            action, aux = self.core.act_with_aux(train_state, rng_act, obs, True)
         env_states, vec = self.env.step(rng_env, env_states, action)
         ts = vec.ts
+        if recurrent:
+            # V(s_{t+1}) on the pre-reset next obs with the post-step carry
+            # (GAE stays exact through truncations), then reset ended rows.
+            next_value = self.core.value_recurrent(train_state, ts.obs, act_state)
+            act_state = self.core.reset_act_state(act_state, ts.done)
 
         ep_ret = ep_ret + ts.reward
         finished = ts.done
@@ -97,7 +116,12 @@ class OnPolicyRunner:
             ts.done,
             ts.obs,
         )
-        return (env_states, vec.obs, train_state, rng, ep_ret, recent, count), step_data
+        if recurrent:
+            step_data = step_data + (pre_act_carry, next_value)
+        return (
+            env_states, vec.obs, train_state, rng, ep_ret, recent, count,
+            act_state,
+        ), step_data
 
     def _iteration(self, state: OnPolicyRunnerState):
         carry = (
@@ -108,11 +132,12 @@ class OnPolicyRunner:
             state.episode_return,
             state.recent_returns,
             state.recent_count,
+            state.act_state,
         )
         carry, steps = jax.lax.scan(
             self._collect_step, carry, None, length=self.rollout_len
         )
-        (env_states, obs, train_state, rng, ep_ret, recent, count) = carry
+        (env_states, obs, train_state, rng, ep_ret, recent, count, act_state) = carry
         rollout = Rollout(
             obs=steps[0],
             action=steps[1],
@@ -122,6 +147,8 @@ class OnPolicyRunner:
             terminated=steps[5],
             done=steps[6],
             next_obs=steps[7],
+            carry=steps[8] if len(steps) > 8 else (),
+            next_value=steps[9] if len(steps) > 8 else None,
         )
         rng, rng_upd = jax.random.split(rng)
         train_state, aux = self.core.update(train_state, rng_upd, rollout)
@@ -134,6 +161,7 @@ class OnPolicyRunner:
             episode_return=ep_ret,
             recent_returns=recent,
             recent_count=count,
+            act_state=act_state,
         )
         return new_state, aux
 
