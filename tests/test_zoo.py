@@ -1,0 +1,74 @@
+"""Pretrained-model zoo: local resolution + load-and-eval.
+
+Exercises pfrl_tpu.utils.pretrained_models against the in-repo ``zoo/``
+tree (reference: pfrl/utils/pretrained_models.py:160 download_model and
+tests/utils_tests/test_pretrained_models.py, which download from the
+public bucket; this container is zero-egress so the zoo ships with the
+repo, populated by tools/record_curves.py — VERDICT r1 item 8).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZOO = os.path.join(REPO, "zoo")
+
+
+@pytest.fixture(autouse=True)
+def zoo_env(monkeypatch):
+    monkeypatch.setenv("PFRL_TPU_MODEL_ZOO", ZOO)
+
+
+def test_list_and_resolve_local_models():
+    from pfrl_tpu.utils.pretrained_models import download_model, list_local_models
+
+    models = list_local_models()
+    assert "dqn/cartpole" in models and "sac/pendulum" in models
+    path, exists = download_model("dqn", "cartpole", model_type="best")
+    assert exists and os.path.isfile(os.path.join(path, "train_state.msgpack"))
+
+
+def test_missing_model_reports_not_found():
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    _, exists = download_model("rainbow", "no_such_env")
+    assert not exists
+
+
+def test_load_zoo_dqn_and_eval():
+    """Restore the zoo DQN CartPole checkpoint and confirm it still acts
+    competently (>= 100 mean return over 10 greedy episodes)."""
+    import optax
+
+    from pfrl_tpu import explorers
+    from pfrl_tpu.agents import DQNCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    path, exists = download_model("dqn", "cartpole", model_type="best")
+    assert exists
+    env = TimeLimit(CartPole(), 500)
+    core = DQNCore(
+        model=FCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_hidden_channels=100, n_hidden_layers=2
+        ),
+        optimizer=optax.adam(1e-3),
+        explorer=explorers.ConstantEpsilonGreedy(0.0, 2),
+        gamma=0.99,
+    )
+    import jax.numpy as jnp
+
+    template = core.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    train_state = load_state(
+        template, os.path.join(path, "train_state.msgpack")
+    )
+    evaluator = JaxEvalLoop(env, core, num_episodes=10, max_steps=501)
+    returns = np.asarray(evaluator.evaluate(train_state, jax.random.PRNGKey(1)))
+    assert returns.mean() >= 100, returns
