@@ -9,8 +9,18 @@ env lanes shard over a device mesh, the learner update runs under
 from pfrl_tpu.parallel.mesh import make_mesh, shard_batch
 from pfrl_tpu.parallel.data_parallel import data_parallel_update
 from pfrl_tpu.parallel.inference_server import BatchedInferenceServer
+from pfrl_tpu.parallel.multihost import (
+    global_mesh,
+    initialize_multihost,
+    is_primary,
+    local_lane_slice,
+)
 
 __all__ = [
+    "global_mesh",
+    "initialize_multihost",
+    "is_primary",
+    "local_lane_slice",
     "make_mesh",
     "shard_batch",
     "data_parallel_update",

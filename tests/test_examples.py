@@ -170,3 +170,21 @@ def test_grasping_dqn_batch_example(tmp_path):
          "--outdir", str(tmp_path)],
     )
     assert (tmp_path / "scores.txt").exists()
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "examples/mujoco/reproduction/ddpg/train_ddpg.py",
+        "examples/mujoco/reproduction/ppo/train_ppo.py",
+        "examples/mujoco/reproduction/soft_actor_critic/train_soft_actor_critic.py",
+        "examples/mujoco/reproduction/td3/train_td3.py",
+        "examples/mujoco/reproduction/trpo/train_trpo.py",
+    ],
+    ids=["ddpg", "ppo", "sac", "td3", "trpo"],
+)
+def test_mujoco_reproduction_argparse(script):
+    """MuJoCo itself is absent in-container; at minimum every reproduction
+    script's CLI must construct (--help exits 0 and prints its options)."""
+    out = run_example(script, ["--help"], timeout=120)
+    assert "--seed" in out

@@ -84,3 +84,76 @@ def test_make_reward_filtered_and_clipped():
     env2 = _FakeEnv()
     make_reward_clipped(env2, -1.0, 1.0)
     assert env2.step(0)[1] == 1.0
+
+
+class TestMonitorVideo:
+    """Monitor video recording parity (pfrl/wrappers/monitor.py:22-30) via
+    the dependency-free MJPEG AVI writer."""
+
+    class FakeRenderEnv:
+        observation_space = None
+        action_space = None
+
+        def __init__(self):
+            import numpy as np
+
+            self._rng = np.random.RandomState(0)
+            self.t = 0
+
+        def reset(self):
+            self.t = 0
+            return 0.0
+
+        def step(self, action):
+            self.t += 1
+            return 0.0, 1.0, self.t >= 5, {}
+
+        def render(self, mode="rgb_array"):
+            import numpy as np
+
+            frame = np.zeros((32, 48, 3), np.uint8)
+            frame[:, : 8 * (self.t + 1)] = (255, 0, 0)
+            return frame
+
+        def close(self):
+            pass
+
+    def test_records_video_and_stats(self, tmp_path):
+        import numpy as np
+
+        from pfrl_tpu.wrappers import Monitor
+        from pfrl_tpu.wrappers.video import read_mjpeg_frames
+
+        env = Monitor(
+            self.FakeRenderEnv(), str(tmp_path), video_callable=lambda ep: True
+        )
+        for _ in range(2):
+            env.reset()
+            done = False
+            while not done:
+                _, _, done, _ = env.step(0)
+        env.close()
+
+        videos = sorted(p for p in tmp_path.iterdir() if p.suffix == ".avi")
+        assert len(videos) == 2
+        frames = read_mjpeg_frames(str(videos[0]))
+        assert len(frames) == 6  # initial frame + 5 steps
+        assert frames[0].shape == (32, 48, 3)
+        # JPEG is lossy; the red bar must still dominate the first columns.
+        assert frames[-1][:, :30, 0].mean() > 200
+        stats = (tmp_path / "monitor.csv").read_text().splitlines()
+        assert stats[0] == "r,l,t" and len(stats) == 3
+
+    def test_schedule_and_disable(self, tmp_path):
+        from pfrl_tpu.wrappers import Monitor
+        from pfrl_tpu.wrappers.monitor import capped_cubic_video_schedule
+
+        assert [e for e in range(30) if capped_cubic_video_schedule(e)] == [
+            0, 1, 8, 27,
+        ]
+        env = Monitor(self.FakeRenderEnv(), str(tmp_path), video_callable=False)
+        env.reset()
+        for _ in range(5):
+            env.step(0)
+        env.close()
+        assert not [p for p in tmp_path.iterdir() if p.suffix == ".avi"]
