@@ -23,7 +23,11 @@ class LazyFrames:
         self.stack_axis = stack_axis
 
     def __array__(self, dtype=None):
-        out = np.stack(self._frames, axis=self.stack_axis)
+        # Concatenate, not stack: WarpFrame emits frames with a singleton
+        # channel axis ((84,84,1) hwc / (1,84,84) chw), so k frames join
+        # along that axis into (84,84,k) / (k,84,84) — exactly the
+        # reference's LazyFrames (pfrl/wrappers/atari_wrappers.py:251-272).
+        out = np.concatenate(self._frames, axis=self.stack_axis)
         if dtype is not None:
             out = out.astype(dtype)
         return out

@@ -120,3 +120,21 @@ class TestVectorJaxEnv:
         assert bool(jnp.all(vec.ts.terminated))
         np.testing.assert_allclose(np.argmax(np.asarray(vec.ts.obs), axis=1), 2)
         np.testing.assert_allclose(np.argmax(np.asarray(vec.obs), axis=1), 0)
+
+
+def test_atari_frame_stack_shapes():
+    """wrap_deepmind output shape parity: (84,84,4) hwc / (4,84,84) chw
+    (LazyFrames must concatenate along the singleton channel axis,
+    reference atari_wrappers.py:251-272)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_pipeline import make_env as make_hwc_env
+
+    env = make_hwc_env(0)
+    obs = np.asarray(env.reset())
+    assert obs.shape == (84, 84, 4) and obs.dtype == np.uint8
+    o2, _, _, _ = env.step(0)
+    assert np.asarray(o2).shape == (84, 84, 4)
