@@ -419,6 +419,8 @@ class DQN(AttributeSavingMixin, BatchAgent):
         per-env_id staging deques do (replay_buffers/replay_buffer.py:29-62).
         """
         n = self._n_actors
+        k = self._lanes_per_actor
+        total = n * k
         staging = [collections.deque() for _ in range(n)]
         try:
             while not stop_event.is_set() and not exception_event.is_set():
@@ -427,7 +429,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
                 except queue_mod.Empty:
                     continue
                 staging[actor_id].append(data)
-                self._cumulative_steps_counter.increment()
+                self._cumulative_steps_counter.increment(k)
                 # Opportunistically drain everything already in flight.
                 while True:
                     try:
@@ -435,39 +437,42 @@ class DQN(AttributeSavingMixin, BatchAgent):
                     except queue_mod.Empty:
                         break
                     staging[actor_id].append(data)
-                    self._cumulative_steps_counter.increment()
+                    self._cumulative_steps_counter.increment(k)
                 while all(staging):
                     rows = [staging[i].popleft() for i in range(n)]
-                    stack = lambda *xs: jnp.asarray(
-                        np.stack([np.asarray(x) for x in xs])
-                    )
+                    if k == 1:
+                        # Single-lane actors ship unbatched rows: stack.
+                        cat = lambda *xs: jnp.asarray(
+                            np.stack([np.asarray(x) for x in xs])
+                        )
+                    else:
+                        # Vector actors ship [k, ...] rows: concatenate.
+                        cat = lambda *xs: jnp.asarray(
+                            np.concatenate([np.asarray(x) for x in xs])
+                        )
                     transition = Transition(
-                        obs=jax.tree.map(stack, *[r["obs"] for r in rows]),
-                        action=jnp.asarray(np.stack([r["action"] for r in rows])),
-                        reward=jnp.asarray(
-                            np.asarray([r["reward"] for r in rows], np.float32)
-                        ),
+                        obs=jax.tree.map(cat, *[r["obs"] for r in rows]),
+                        action=jnp.asarray(cat(*[r["action"] for r in rows])),
+                        reward=jnp.asarray(cat(*[r["reward"] for r in rows])),
                         next_obs=jax.tree.map(
-                            stack, *[r["next_obs"] for r in rows]
+                            cat, *[r["next_obs"] for r in rows]
                         ),
                         terminated=jnp.asarray(
-                            np.asarray([r["terminated"] for r in rows], bool)
+                            cat(*[r["terminated"] for r in rows])
                         ),
-                        done=jnp.asarray(
-                            np.asarray([r["done"] for r in rows], bool)
-                        ),
+                        done=jnp.asarray(cat(*[r["done"] for r in rows])),
                         extras=FrozenDict(),
                     )
                     with self._replay_lock:
                         if self.replay_state is None:
                             example = jax.tree.map(lambda x: x[0], transition)
-                            if self.buffer.num_lanes != n:
-                                self.buffer = self.buffer.configure_lanes(n)
+                            if self.buffer.num_lanes != total:
+                                self.buffer = self.buffer.configure_lanes(total)
                             self._ensure_buffer(example)
                         self.replay_state = self.buffer.add(
                             self.replay_state, transition
                         )
-                        self._replay_inserted += n
+                        self._replay_inserted += total
         except Exception:
             logger.exception("Poller loop failed. Exiting")
             exception_event.set()
@@ -493,7 +498,9 @@ class DQN(AttributeSavingMixin, BatchAgent):
                     or self.replay_state is None
                     or not self._can_start_replay()
                 ):
-                    time.sleep(1e-4)
+                    # 5ms, not sub-ms: a tight poll here would grab the GIL
+                    # thousands of times per second against the actor threads.
+                    time.sleep(5e-3)
                     continue
                 if n_updates is not None and self._optim_t >= n_updates:
                     stop_event.set()
@@ -527,6 +534,8 @@ class DQN(AttributeSavingMixin, BatchAgent):
         update_counter=None,
         n_updates: Optional[int] = None,
         actor_update_interval: int = 8,
+        lanes_per_actor: int = 1,
+        inference_slots: Optional[int] = None,
         step_hooks=(),
         optimizer_step_hooks=(),
         logger=None,
@@ -537,15 +546,32 @@ class DQN(AttributeSavingMixin, BatchAgent):
         and ``learner``, build actors with ``make_actor(i)``, drive them
         with ``experiments.train_agent_async(..., make_agent=make_actor,
         stop_event=learner.stop_event)``, then stop/join both threads.
+
+        With ``lanes_per_actor=K > 1`` each ``make_actor(i)`` returns a
+        VectorStateQFunctionActor driving K env lanes from one thread
+        (drive with batch_act/batch_observe over K envs); the replay ring
+        gets ``n_actors * K`` lanes. This is how a threads-only host
+        pipeline reaches device-act rates: per-transition queue/event/GIL
+        overhead is amortized K-fold (see state_q_function_actor.py).
+
+        ``inference_slots`` sets the act-batch width (default: all lanes).
+        Setting it to HALF the total lanes double-buffers the device: one
+        actor group's forward runs while the other group steps its envs,
+        hiding per-call device latency behind env stepping — the win is
+        large when that latency is high (remote/tunneled TPU).
         """
         import logging as _logging
 
-        from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
+        from pfrl_tpu.agents.state_q_function_actor import (
+            StateQFunctionActor,
+            VectorStateQFunctionActor,
+        )
         from pfrl_tpu.parallel.inference_server import BatchedInferenceServer
         from pfrl_tpu.utils.stoppable_thread import Counter, StoppableThread
 
         logger = logger or _logging.getLogger(__name__)
         self._n_actors = n_actors
+        self._lanes_per_actor = lanes_per_actor
         self.update_counter = (
             update_counter if update_counter is not None else Counter()
         )
@@ -559,7 +585,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
 
         self._inference = BatchedInferenceServer(
             act_fn=self._actor_act_fn,
-            n_slots=n_actors,
+            n_slots=inference_slots or n_actors * lanes_per_actor,
             t_fn=lambda: self._cumulative_steps_counter.value,
         )
         self._inference.start()
@@ -567,6 +593,15 @@ class DQN(AttributeSavingMixin, BatchAgent):
         exception_event = threading.Event()
 
         def make_actor(i: int) -> StateQFunctionActor:
+            if lanes_per_actor > 1:
+                return VectorStateQFunctionActor(
+                    inference=self._inference,
+                    transition_queue=transition_queue,
+                    actor_id=i,
+                    num_lanes=lanes_per_actor,
+                    learner_agent=self,
+                    logger=logger,
+                )
             return StateQFunctionActor(
                 inference=self._inference,
                 transition_queue=transition_queue,

@@ -88,3 +88,57 @@ class StateQFunctionActor(Agent):
         if self.learner_agent is not None:
             return self.learner_agent.get_statistics()
         return []
+
+
+class VectorStateQFunctionActor(StateQFunctionActor):
+    """Actor that drives K env lanes from one thread.
+
+    The reference runs one actor process per env (pfrl/agents/
+    state_q_function_actor.py); with host threads the per-transition
+    Python overhead (queue hop + event wait + GIL switch per act) caps the
+    whole pipeline at a few hundred steps/s regardless of actor count.
+    Row-batching K lanes per actor amortizes that overhead K-fold: one
+    inference-server request and ONE queue message per vector step carry
+    all K transitions as stacked arrays.
+
+    Drive it like a BatchAgent: ``batch_act(obs_list) -> actions[K]`` then
+    ``batch_observe(obs_list, rewards, dones, resets)``.
+    """
+
+    def __init__(self, inference, transition_queue, actor_id, num_lanes,
+                 learner_agent=None, logger=None):
+        super().__init__(inference, transition_queue, actor_id,
+                         learner_agent=learner_agent, logger=logger)
+        self.num_lanes = num_lanes
+
+    def _collate(self, obs_list):
+        if isinstance(obs_list, np.ndarray):
+            return obs_list
+        return np.stack([np.asarray(o) for o in obs_list])
+
+    def batch_act(self, obs_list) -> np.ndarray:
+        obs = self._collate(obs_list)
+        actions = self.inference.submit_batch(obs, self.training)
+        self._last_obs = obs
+        self._last_action = np.asarray(actions)
+        return self._last_action
+
+    def batch_observe(self, obs_list, rewards, dones, resets) -> None:
+        if not self.training:
+            return
+        self.t += self.num_lanes
+        next_obs = self._collate(obs_list)
+        dones = np.asarray(dones, bool)
+        self.transition_queue.put(
+            (
+                self.actor_id,
+                dict(
+                    obs=self._last_obs,
+                    action=self._last_action,
+                    reward=np.asarray(rewards, np.float32),
+                    next_obs=next_obs,
+                    terminated=dones,
+                    done=dones | np.asarray(resets, bool),
+                ),
+            )
+        )

@@ -12,6 +12,13 @@ while referenced; no D2H copy ever happens).
 
 Static shapes: the request batch is always padded to ``n_slots`` rows, so
 the server compiles exactly once per ``training`` flag value.
+
+Requests are row-batched: an actor that drives K env lanes submits one
+request carrying K observation rows (``submit_batch``), and the server
+concatenates rows across requests up to ``n_slots``. Amortizing the
+per-request Python work (queue hop, event wait, GIL churn) over K lanes is
+what keeps a threads-only host pipeline fast — per-transition overhead
+drops by K, while the device still sees one fixed-width batch.
 """
 
 import queue
@@ -22,14 +29,22 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("obs", "training", "event", "action", "error")
+    __slots__ = ("obs", "rows", "training", "event", "actions", "error")
 
-    def __init__(self, obs, training):
-        self.obs = obs
+    def __init__(self, obs, rows, training):
+        self.obs = obs          # [rows, ...] leaf-batched pytree
+        self.rows = rows
         self.training = training
         self.event = threading.Event()
-        self.action = None
+        self.actions = None     # [rows, ...] on completion
         self.error = None
+
+
+def _nrows(obs) -> int:
+    import jax
+
+    leaves = jax.tree.leaves(obs)
+    return int(np.asarray(leaves[0]).shape[0])
 
 
 class BatchedInferenceServer:
@@ -41,7 +56,8 @@ class BatchedInferenceServer:
             latest published train_state (see
             DQN.setup_actor_learner_training). Called on the server thread
             only.
-        n_slots: max (and padded) batch width — normally the actor count.
+        n_slots: max (and padded) batch width in rows — normally the total
+            env-lane count (actors x lanes-per-actor).
         t_fn: returns the global env-step counter fed to the explorer
             schedule (the reference actor passes its own ``t``,
             pfrl/agents/state_q_function_actor.py:80-88).
@@ -62,6 +78,12 @@ class BatchedInferenceServer:
         self._stop = threading.Event()
         self._seed = 0
         self._thread: Optional[threading.Thread] = None
+        # EMA of the forward cost. The batch-collection window scales with
+        # it: a padded partial batch costs a FULL forward, so waiting up to
+        # ~half a forward for stragglers is always cheaper than running
+        # one-request batches back to back (which serializes every actor
+        # behind n_actors padded forwards).
+        self._fwd_ema = 0.0
 
     # ---------------------------------------------------------------- server
     def start(self) -> None:
@@ -81,21 +103,32 @@ class BatchedInferenceServer:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline_passed = False
-            # Micro-batch: drain whatever else is in flight (same training
-            # flag — a mismatched request starts the next batch).
-            while len(batch) < self.n_slots and not deadline_passed:
+            rows = first.rows
+            # Micro-batch: collect until the batch is full or the window
+            # closes (a mismatched training flag starts the next batch).
+            import time as _time
+
+            deadline = _time.monotonic() + max(self.timeout, 0.5 * self._fwd_ema)
+            while rows < self.n_slots:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    req = self._queue.get(timeout=self.timeout)
+                    req = self._queue.get(timeout=remaining)
                 except queue.Empty:
-                    deadline_passed = True
-                    continue
-                if req.training != first.training:
+                    break
+                if req.training != first.training or rows + req.rows > self.n_slots:
                     pending.append(req)
                     break
                 batch.append(req)
+                rows += req.rows
             try:
-                self._run_batch(batch)
+                t0 = _time.monotonic()
+                self._run_batch(batch, rows)
+                dt = _time.monotonic() - t0
+                self._fwd_ema = dt if not self._fwd_ema else (
+                    0.9 * self._fwd_ema + 0.1 * dt
+                )
             except Exception as e:  # propagate to all waiting actors
                 for req in batch:
                     req.error = e
@@ -111,26 +144,45 @@ class BatchedInferenceServer:
             req.error = RuntimeError("inference server stopped")
             req.event.set()
 
-    def _run_batch(self, batch) -> None:
-        n = len(batch)
-        obs = np.stack(
-            [np.asarray(r.obs) for r in batch]
-            + [np.asarray(batch[0].obs)] * (self.n_slots - n)
+    def _run_batch(self, batch, rows) -> None:
+        import jax
+
+        pad = self.n_slots - rows
+        parts = [r.obs for r in batch]
+        if pad:
+            pad_rows = jax.tree.map(
+                lambda x: np.broadcast_to(x[:1], (pad,) + x.shape[1:]),
+                batch[0].obs,
+            )
+            parts.append(pad_rows)
+        obs = (
+            parts[0]
+            if len(parts) == 1
+            else jax.tree.map(lambda *xs: np.concatenate(xs), *parts)
         )
         self._seed += 1
         actions = np.asarray(
             self.act_fn(self._seed, obs, self.t_fn(), batch[0].training)
         )
-        for i, req in enumerate(batch):
-            req.action = actions[i]
+        off = 0
+        for req in batch:
+            req.actions = actions[off : off + req.rows]
+            off += req.rows
             req.event.set()
 
     # ---------------------------------------------------------------- client
-    def submit(self, obs, training: bool):
-        """Blocking act call from an actor thread."""
-        req = _Request(obs, training)
+    def submit_batch(self, obs, training: bool):
+        """Blocking act call for a row-batched observation ``obs[K, ...]``."""
+        req = _Request(obs, _nrows(obs), training)
         self._queue.put(req)
         req.event.wait()
         if req.error is not None:
             raise req.error
-        return req.action
+        return req.actions
+
+    def submit(self, obs, training: bool):
+        """Blocking act call for one observation row."""
+        import jax
+
+        batched = jax.tree.map(lambda x: np.asarray(x)[None], obs)
+        return self.submit_batch(batched, training)[0]

@@ -175,3 +175,99 @@ def test_batched_inference_server_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         server.submit(np.zeros(2), True)
     server.stop()
+
+
+def test_batched_inference_server_row_batched_requests():
+    """Vector actors submit K rows per request; the server concatenates
+    across requests up to n_slots and routes each slice back."""
+
+    def act_fn(seed, obs, t, training):
+        return obs[:, 0]
+
+    server = BatchedInferenceServer(act_fn, n_slots=8)
+    server.start()
+    results = {}
+
+    def worker(i):
+        obs = np.stack([[float(i * 4 + j), 0.0] for j in range(4)])
+        results[i] = server.submit_batch(obs, True)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.stop()
+    for i in range(4):
+        np.testing.assert_allclose(
+            results[i], [float(i * 4 + j) for j in range(4)]
+        )
+
+
+def test_vector_actor_learner_training():
+    """lanes_per_actor>1: vector actors drive K env lanes per thread, the
+    poller concatenates row-batched transitions, and the learner updates
+    from the (n_actors*K)-lane replay ring."""
+    K = 3
+    agent = DQN(
+        q_function=FCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_hidden_channels=16, n_hidden_layers=1
+        ),
+        optimizer=optax.adam(1e-2),
+        replay_buffer=ReplayBuffer(capacity=256, num_lanes=2 * K),
+        gamma=0.9,
+        explorer=ConstantEpsilonGreedy(0.3, 2),
+        replay_start_size=8,
+        minibatch_size=4,
+        update_interval=1,
+        target_update_interval=16,
+    )
+    make_actor, learner, poller, exception_event = (
+        agent.setup_actor_learner_training(
+            n_actors=2, lanes_per_actor=K, inference_slots=K, n_updates=2
+        )
+    )
+    poller.start()
+    learner.start()
+    stop = threading.Event()
+
+    def actor_loop(i):
+        envs = [
+            HostJaxEnv(ABC(discrete=True, episodic=True), seed=i * K + j)
+            for j in range(K)
+        ]
+        actor = make_actor(i)
+        obs = [e.reset() for e in envs]
+        while not (stop.is_set() or learner.stop_event.is_set()):
+            actions = actor.batch_act(obs)
+            nxt, rs, ds, rsts = [], [], [], []
+            for e, a in zip(envs, actions):
+                o2, r, d, info = e.step(int(a))
+                nxt.append(o2)
+                rs.append(r)
+                ds.append(d)
+                rsts.append(info.get("needs_reset", False))
+            actor.batch_observe(nxt, rs, ds, rsts)
+            obs = [envs[j].reset() if ds[j] else nxt[j] for j in range(K)]
+
+    threads = [
+        threading.Thread(target=actor_loop, args=(i,), daemon=True)
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.time() + 60
+    while not learner.stop_event.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    stop.set()
+    for t in threads:
+        t.join(10)
+    learner.stop()
+    learner.join(10)
+    poller.stop()
+    poller.join(10)
+    assert not exception_event.is_set()
+    assert agent.optim_t >= 2
+    assert agent.cumulative_steps >= 8
+    # Replay ring was reconfigured to the full lane count.
+    assert agent.buffer.num_lanes == 2 * K

@@ -99,9 +99,27 @@ def bench_frame_pipeline(seconds=3.0):
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--actors", type=int, default=6)
+    # Topology chosen from measured bottlenecks on this 2-core host:
+    # (1) single-lane actor threads cap at ~330 steps/s from per-transition
+    #     queue/event/GIL overhead -> vector actors amortize it K-fold;
+    # (2) the device link's per-synced-call latency is the next wall ->
+    #     --slots at HALF the lanes double-buffers: one actor pair's
+    #     forward overlaps the other pair's env stepping.
+    parser.add_argument("--actors", type=int, default=4)
+    parser.add_argument("--lanes", type=int, default=32,
+                        help="env lanes per actor thread")
+    parser.add_argument("--slots", type=int, default=None,
+                        help="inference batch width (default lanes*actors/2)")
     parser.add_argument("--seconds", type=float, default=20.0)
     args = parser.parse_args()
+    if args.slots is None:
+        args.slots = max(args.lanes, args.actors * args.lanes // 2)
+
+    import sys as _sys
+
+    # Faster GIL handoff: with compute-heavy actor threads on few cores the
+    # default 5 ms switch interval convoys the server/poller threads.
+    _sys.setswitchinterval(0.001)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -135,7 +153,7 @@ def main():
         replay_buffer=replay_buffers.ReplayBuffer(
             50_000,
             gamma=0.99,
-            num_lanes=args.actors,
+            num_lanes=args.actors * args.lanes,
             store_next_obs=False,
             fused_dequant_scale=1.0 / 255.0,
         ),
@@ -149,7 +167,9 @@ def main():
     )
 
     make_actor, learner, poller, exc = agent.setup_actor_learner_training(
-        n_actors=args.actors
+        n_actors=args.actors,
+        lanes_per_actor=args.lanes,
+        inference_slots=args.slots,
     )
     poller.start()
     learner.start()
@@ -158,15 +178,24 @@ def main():
     stop = threading.Event()
 
     def actor_loop(i):
-        env = make_env(i)
+        k = args.lanes
+        envs = [make_env(i * k + j) for j in range(k)]
         actor = make_actor(i)
-        obs = env.reset()
+        obs = [e.reset() for e in envs]
         while not stop.is_set():
-            a = actor.act(obs)
-            obs2, r, done, info = env.step(int(a))
-            actor.observe(obs2, r, done, info.get("needs_reset", False))
-            counter.increment()
-            obs = env.reset() if done else obs2
+            actions = actor.batch_act(obs)
+            next_obs, rs, dones, resets = [], [], [], []
+            for e, a in zip(envs, actions):
+                o2, r, d, info = e.step(int(a))
+                next_obs.append(o2)
+                rs.append(r)
+                dones.append(d)
+                resets.append(info.get("needs_reset", False))
+            actor.batch_observe(next_obs, rs, dones, resets)
+            counter.increment(k)
+            obs = [
+                envs[j].reset() if dones[j] else next_obs[j] for j in range(k)
+            ]
 
     threads = [
         threading.Thread(target=actor_loop, args=(i,), daemon=True)
@@ -175,8 +204,18 @@ def main():
     for t in threads:
         t.start()
 
-    # Warmup (compiles + replay fill), then the measurement window.
-    time.sleep(10.0)
+    # Warmup: first device compile over the tunnel can take minutes cold
+    # (persistent cache makes reruns fast), so wait for actual progress —
+    # enough acted steps to fill replay past replay_start_size — rather
+    # than a fixed sleep, then measure.
+    warmup_target = 4_000
+    warmup_deadline = time.time() + 600.0
+    last_report = time.time()
+    while counter.value < warmup_target and time.time() < warmup_deadline:
+        time.sleep(0.5)
+        if time.time() - last_report > 15.0:
+            print(f"warmup: {counter.value} steps", flush=True)
+            last_report = time.time()
     start_steps = counter.value
     start_updates = agent.optim_t
     t0 = time.time()
@@ -195,13 +234,16 @@ def main():
         "env_steps_per_sec": round(sps, 1),
         "frame_pipeline_fps_single_thread": round(fps, 1),
         "actors": args.actors,
+        "lanes_per_actor": args.lanes,
+        "inference_slots": args.slots,
         "seconds": args.seconds,
         "updates_done": int(updates),
         "updates_per_sec": round(updates / elapsed, 1),
         "meets_device_act_rate": sps >= 1600.0,
         "topology": "SyntheticALE(210x160x3) -> MaxAndSkip+WarpFrame(C++)"
-        " -> FrameStack -> actor threads -> BatchedInferenceServer(TPU)"
-        " -> poller -> device replay -> learner(batch 32)",
+        " -> FrameStack -> vector actor threads (K lanes each)"
+        " -> BatchedInferenceServer(TPU) -> poller -> device replay"
+        " -> learner(batch 32)",
         "backend": jax.default_backend(),
     }
     with open(os.path.join(REPO, "PIPELINE_r02.json"), "w") as f:

@@ -22,9 +22,11 @@ Usage: python tools/record_curves.py [name ...]   (default: all three)
 import argparse
 import os
 import statistics
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 _BASIC_COLUMNS = (
     "steps", "episodes", "elapsed", "mean", "median", "stdev", "max", "min",
@@ -78,9 +80,12 @@ def run_dqn_cartpole():
             n_actions=2, n_hidden_channels=100, n_hidden_layers=2
         ),
         optimizer=optax.adam(1e-3),
-        explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.05, steps // 2, 2),
+        explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.05, steps // 4, 2),
         gamma=0.99,
     )
+    # Dense update schedule: 8 gradient steps per 32-lane vector step
+    # (replay ratio 2 at batch 64) — the sparse 1-update/32-transitions
+    # schedule plateaued near R=130.
     runner = OffPolicyRunner(
         env,
         core,
@@ -88,8 +93,8 @@ def run_dqn_cartpole():
         RunnerConfig(
             num_envs=num_envs,
             replay_start_size=1024,
-            update_interval=32,
-            target_update_interval=2048,
+            update_interval=4,
+            target_update_interval=1024,
             minibatch_size=64,
         ),
     )
