@@ -20,6 +20,7 @@ from pfrl_tpu.agents.ppo import PPO, PPOCore
 from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
 from pfrl_tpu.agents.recurrent_iqn import RecurrentIQNCore
 from pfrl_tpu.agents.recurrent_ppo import RecurrentPPOCore
+from pfrl_tpu.agents.recurrent_trpo import RecurrentTRPOCore
 from pfrl_tpu.agents.reinforce import REINFORCE, ReinforceCore
 from pfrl_tpu.agents.state_q_function_actor import StateQFunctionActor
 from pfrl_tpu.agents.soft_actor_critic import SACCore, SoftActorCritic
@@ -62,6 +63,7 @@ __all__ = [
     "RecurrentDQNCore",
     "RecurrentIQNCore",
     "RecurrentPPOCore",
+    "RecurrentTRPOCore",
     "REINFORCE",
     "ReinforceCore",
     "StateQFunctionActor",

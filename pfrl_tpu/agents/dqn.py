@@ -450,13 +450,25 @@ class DQN(AttributeSavingMixin, BatchAgent):
                         cat = lambda *xs: jnp.asarray(
                             np.concatenate([np.asarray(x) for x in xs])
                         )
+                    # A ring with store_next_obs=False derives the bootstrap
+                    # obs from the successor row and discards next_obs at
+                    # add() (replay/uniform.py:205-208) — skip its
+                    # concatenation AND its device upload entirely here
+                    # (halves the poller's H2D volume for image obs).
+                    if getattr(self.buffer, "store_next_obs", True):
+                        next_obs = jax.tree.map(
+                            cat, *[r["next_obs"] for r in rows]
+                        )
+                    else:
+                        next_obs = jax.tree.map(
+                            lambda x: jnp.zeros((total, 0)),
+                            rows[0]["next_obs"],
+                        )
                     transition = Transition(
                         obs=jax.tree.map(cat, *[r["obs"] for r in rows]),
                         action=jnp.asarray(cat(*[r["action"] for r in rows])),
                         reward=jnp.asarray(cat(*[r["reward"] for r in rows])),
-                        next_obs=jax.tree.map(
-                            cat, *[r["next_obs"] for r in rows]
-                        ),
+                        next_obs=next_obs,
                         terminated=jnp.asarray(
                             cat(*[r["terminated"] for r in rows])
                         ),

@@ -214,7 +214,11 @@ def test_vector_actor_learner_training():
             n_actions=2, n_hidden_channels=16, n_hidden_layers=1
         ),
         optimizer=optax.adam(1e-2),
-        replay_buffer=ReplayBuffer(capacity=256, num_lanes=2 * K),
+        # store_next_obs=False also covers the poller's skip-next-obs-upload
+        # fast path (bootstrap obs derived from the successor ring row).
+        replay_buffer=ReplayBuffer(
+            capacity=256, num_lanes=2 * K, store_next_obs=False
+        ),
         gamma=0.9,
         explorer=ConstantEpsilonGreedy(0.3, 2),
         replay_start_size=8,

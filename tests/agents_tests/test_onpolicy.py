@@ -174,3 +174,70 @@ class TestRecurrentPPO:
         evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
         returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
         assert np.all(np.asarray(returns) >= 1.0), returns
+
+
+class TestRecurrentTRPO:
+    def test_learns_po_abc(self):
+        """Recurrent TRPO solves the partially-observable ABC chain: the
+        trust-region step (CG + line search) differentiates through the
+        sequence-chunk unroll from stored carries (reference trpo.py:12-18
+        reusing ppo.py:145-178,608-632)."""
+        import flax.linen as nn
+
+        from pfrl_tpu.agents import RecurrentTRPOCore
+        from pfrl_tpu.envs import ABC
+        from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+        from pfrl_tpu.experiments.runner import JaxEvalLoop
+        from pfrl_tpu.models.recurrent import LSTMCellModule
+        from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+        class RPolicy(nn.Module):
+            n_actions: int = 2
+
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(32)(x))
+                h, new_carry = LSTMCellModule(32)(h, carry[0])
+                dist = SoftmaxCategoricalHead()(nn.Dense(self.n_actions)(h))
+                return dist, (new_carry,)
+
+            def initial_carry(self, batch_size):
+                return (
+                    (
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                    ),
+                )
+
+        class RVF(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(32)(x))
+                h, new_carry = LSTMCellModule(32)(h, carry[0])
+                return nn.Dense(1)(h), (new_carry,)
+
+            def initial_carry(self, batch_size):
+                return (
+                    (
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                    ),
+                )
+
+        env = ABC(size=2, partially_observable=True, deterministic=True)
+        core = RecurrentTRPOCore(
+            policy=RPolicy(),
+            vf=RVF(),
+            vf_optimizer=optax.adam(5e-3),
+            gamma=0.9,
+            entropy_coef=1e-2,
+            max_kl=0.01,
+            chunk_len=4,
+        )
+        runner = OnPolicyRunner(env, core, num_envs=16, rollout_len=32)
+        state = runner.init(jax.random.PRNGKey(0))
+        state, _ = runner.run_iterations(state, 40)
+
+        evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
+        returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+        assert np.all(np.asarray(returns) >= 1.0), returns
