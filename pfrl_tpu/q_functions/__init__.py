@@ -6,14 +6,20 @@ from pfrl_tpu.q_functions.quantile_q_functions import (
     RecurrentImplicitQuantileQFunction,
 )
 from pfrl_tpu.q_functions.state_action_q_functions import (
+    FCBNLateActionSAQFunction,
     FCBNSAQFunction,
+    FCLateActionSAQFunction,
+    FCLSTMSAQFunction,
     FCSAQFunction,
+    SingleModelStateActionQFunction,
 )
 from pfrl_tpu.q_functions.state_q_functions import (
     DiscreteActionValueHead,
     DistributionalFCStateQFunctionWithDiscreteAction,
+    DistributionalSingleModelStateQFunctionWithDiscreteAction,
     FCQuadraticStateQFunction,
     FCStateQFunctionWithDiscreteAction,
+    SingleModelStateQFunctionWithDiscreteAction,
 )
 
 __all__ = [
@@ -21,10 +27,16 @@ __all__ = [
     "DuelingDQN",
     "ImplicitQuantileQFunction",
     "RecurrentImplicitQuantileQFunction",
+    "FCBNLateActionSAQFunction",
     "FCBNSAQFunction",
+    "FCLateActionSAQFunction",
+    "FCLSTMSAQFunction",
     "FCSAQFunction",
+    "SingleModelStateActionQFunction",
     "DiscreteActionValueHead",
     "DistributionalFCStateQFunctionWithDiscreteAction",
+    "DistributionalSingleModelStateQFunctionWithDiscreteAction",
     "FCQuadraticStateQFunction",
     "FCStateQFunctionWithDiscreteAction",
+    "SingleModelStateQFunctionWithDiscreteAction",
 ]

@@ -112,3 +112,29 @@ class FCQuadraticStateQFunction(nn.Module):
         return QuadraticActionValue(
             mu=mu, mat=mat, v=v, min_action=low, max_action=high
         )
+
+
+class SingleModelStateQFunctionWithDiscreteAction(nn.Module):
+    """Wrap any ``x -> [B, A]`` module into a DiscreteActionValue Q-function
+    (state_q_functions.py:26-40)."""
+
+    model: nn.Module
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> DiscreteActionValue:
+        return DiscreteActionValue(q_values=self.model(x))
+
+
+class DistributionalSingleModelStateQFunctionWithDiscreteAction(nn.Module):
+    """Wrap any ``x -> [B, A, n_atoms]`` module into a distributional
+    Q-function over fixed atom supports (state_q_functions.py:75-94)."""
+
+    model: nn.Module
+    z_values: tuple  # (n_atoms,) return atoms, static
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> DistributionalDiscreteActionValue:
+        probs = self.model(x)
+        return DistributionalDiscreteActionValue(
+            q_dist=probs, z_values=jnp.asarray(self.z_values, jnp.float32)
+        )

@@ -132,3 +132,113 @@ class TestBranched:
         params = m.init(rng, x)
         a, b = m.apply(params, x)
         assert a.shape == (2, 3) and b.shape == (2, 5)
+
+
+class TestNewQFunctionVariants:
+    """The reference's remaining q-function variants
+    (pfrl/q_functions/state_action_q_functions.py:11-296,
+    state_q_functions.py:26-94)."""
+
+    def test_single_model_state_q_function(self, rng):
+        import flax.linen as nn
+
+        from pfrl_tpu.q_functions import (
+            SingleModelStateQFunctionWithDiscreteAction,
+        )
+
+        qf = SingleModelStateQFunctionWithDiscreteAction(
+            model=nn.Dense(4)
+        )
+        x = jnp.ones((3, 5))
+        params = qf.init(rng, x)
+        av = qf.apply(params, x)
+        assert av.q_values.shape == (3, 4)
+        assert av.greedy_actions().shape == (3,)
+
+    def test_distributional_single_model(self, rng):
+        import flax.linen as nn
+
+        from pfrl_tpu.q_functions import (
+            DistributionalSingleModelStateQFunctionWithDiscreteAction,
+        )
+
+        class Atoms(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                h = nn.Dense(4 * 11)(x)
+                return nn.softmax(h.reshape(x.shape[0], 4, 11), axis=-1)
+
+        z = tuple(float(v) for v in np.linspace(-1, 1, 11))
+        qf = DistributionalSingleModelStateQFunctionWithDiscreteAction(
+            model=Atoms(), z_values=z
+        )
+        x = jnp.ones((3, 5))
+        params = qf.init(rng, x)
+        av = qf.apply(params, x)
+        assert av.q_values.shape == (3, 4)
+        np.testing.assert_allclose(
+            np.asarray(av.q_values),
+            np.einsum("baz,z->ba", np.asarray(av.q_dist), np.asarray(z)),
+            rtol=1e-5,
+        )
+
+    def test_single_model_state_action_q_function(self, rng):
+        import flax.linen as nn
+
+        from pfrl_tpu.q_functions import SingleModelStateActionQFunction
+
+        class Bilinear(nn.Module):
+            @nn.compact
+            def __call__(self, s, a):
+                return nn.Dense(1)(jnp.concatenate([s, a], -1))
+
+        qf = SingleModelStateActionQFunction(model=Bilinear())
+        s, a = jnp.ones((3, 5)), jnp.ones((3, 2))
+        params = qf.init(rng, s, a)
+        q = qf.apply(params, s, a)
+        assert q.shape == (3,)
+
+    def test_late_action_q_function(self, rng):
+        from pfrl_tpu.q_functions import FCLateActionSAQFunction
+
+        qf = FCLateActionSAQFunction(n_hidden_channels=16, n_hidden_layers=2)
+        s, a = jnp.ones((3, 5)), jnp.ones((3, 2))
+        params = qf.init(rng, s, a)
+        q = qf.apply(params, s, a)
+        assert q.shape == (3,)
+        # DDPG-paper wiring: the first layer sees only the observation.
+        flat = {
+            jax.tree_util.keystr(p): x
+            for p, x in jax.tree_util.tree_leaves_with_path(params)
+        }
+        first_kernels = [
+            v for k, v in flat.items() if "MLP_0" in k and "kernel" in k
+        ]
+        assert any(k.shape[0] == 5 for k in first_kernels)  # obs dims only
+
+    def test_bn_late_action_q_function(self, rng):
+        from pfrl_tpu.q_functions import FCBNLateActionSAQFunction
+
+        qf = FCBNLateActionSAQFunction(n_hidden_channels=16, n_hidden_layers=2)
+        s, a = jnp.ones((3, 5)), jnp.ones((3, 2))
+        variables = qf.init(rng, s, a)
+        assert "batch_stats" in variables
+        q, mutated = qf.apply(
+            variables, s, a, mutable=["batch_stats"]
+        )
+        assert q.shape == (3,)
+
+    def test_fc_lstm_sa_q_function(self, rng):
+        """The reference stubs FCLSTMSAQFunction with NotImplementedError
+        (state_action_q_functions.py:92-96); ours works."""
+        from pfrl_tpu.q_functions import FCLSTMSAQFunction
+
+        qf = FCLSTMSAQFunction(n_hidden_channels=8, n_hidden_layers=1)
+        s, a = jnp.ones((3, 5)), jnp.ones((3, 2))
+        carry = qf.initial_carry(3)
+        params = qf.init(rng, s, a, carry)
+        q, carry2 = qf.apply(params, s, a, carry)
+        assert q.shape == (3,)
+        # Carry changes state across steps.
+        q2, carry3 = qf.apply(params, s, a, carry2)
+        assert not np.allclose(np.asarray(q), np.asarray(q2))
