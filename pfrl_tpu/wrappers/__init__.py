@@ -9,6 +9,7 @@ pfrl_tpu/envs/wrappers.py instead. Atari wrappers live in
 from pfrl_tpu.wrappers import atari_wrappers
 from pfrl_tpu.wrappers.continuing_time_limit import ContinuingTimeLimit
 from pfrl_tpu.wrappers.misc import (
+    CastObservation,
     CastObservationToFloat32,
     NormalizeActionSpace,
     RandomizeAction,
@@ -20,6 +21,7 @@ from pfrl_tpu.wrappers.vector_frame_stack import LazyFrames, VectorFrameStack
 __all__ = [
     "atari_wrappers",
     "ContinuingTimeLimit",
+    "CastObservation",
     "CastObservationToFloat32",
     "NormalizeActionSpace",
     "RandomizeAction",

@@ -24,15 +24,29 @@ class _Wrapper(Env):
         return getattr(self.env, name)
 
 
-class CastObservationToFloat32(_Wrapper):
-    """pfrl/wrappers/cast_observation.py."""
+class CastObservation(_Wrapper):
+    """Cast observations to a given dtype
+    (pfrl/wrappers/cast_observation.py:4-28)."""
+
+    def __init__(self, env, dtype):
+        super().__init__(env)
+        self.dtype = dtype
 
     def reset(self):
-        return np.asarray(self.env.reset(), dtype=np.float32)
+        self.original_observation = self.env.reset()
+        return np.asarray(self.original_observation, dtype=self.dtype)
 
     def step(self, action):
         obs, r, done, info = self.env.step(action)
-        return np.asarray(obs, dtype=np.float32), r, done, info
+        self.original_observation = obs
+        return np.asarray(obs, dtype=self.dtype), r, done, info
+
+
+class CastObservationToFloat32(CastObservation):
+    """pfrl/wrappers/cast_observation.py:31-39."""
+
+    def __init__(self, env):
+        super().__init__(env, np.float32)
 
 
 class ScaleReward(_Wrapper):
