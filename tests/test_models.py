@@ -242,3 +242,30 @@ class TestNewQFunctionVariants:
         # Carry changes state across steps.
         q2, carry3 = qf.apply(params, s, a, carry2)
         assert not np.allclose(np.asarray(q), np.asarray(q2))
+
+
+class TestLowerTriangularMatrix:
+    """reference: tests/functions_tests/test_lower_triangular_matrix.py."""
+
+    def test_assembles_batch(self):
+        from pfrl_tpu.functions import lower_triangular_matrix
+
+        diag = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        non_diag = jnp.asarray([[7.0, 8.0, 9.0], [10.0, 11.0, 12.0]])
+        m = np.asarray(lower_triangular_matrix(diag, non_diag))
+        expected0 = np.array([[1, 0, 0], [7, 2, 0], [8, 9, 3]], np.float32)
+        expected1 = np.array([[4, 0, 0], [10, 5, 0], [11, 12, 6]], np.float32)
+        np.testing.assert_allclose(m[0], expected0)
+        np.testing.assert_allclose(m[1], expected1)
+
+    def test_gradients_flow(self, rng):
+        from pfrl_tpu.functions import lower_triangular_matrix
+
+        def f(d, nd):
+            return jnp.sum(lower_triangular_matrix(d, nd) ** 2)
+
+        d = jnp.ones((1, 3))
+        nd = jnp.ones((1, 3)) * 2
+        gd, gnd = jax.grad(f, argnums=(0, 1))(d, nd)
+        np.testing.assert_allclose(gd, 2 * np.ones((1, 3)))
+        np.testing.assert_allclose(gnd, 4 * np.ones((1, 3)))
