@@ -1,0 +1,89 @@
+"""Host vector-env tests (reference: tests/envs_tests/
+test_multiprocess_vector_env.py, test_serial_vector_env.py): pipe
+protocol, masked reset keeping last observations, seeding, close."""
+
+import numpy as np
+import pytest
+
+from pfrl_tpu.envs import MultiprocessVectorEnv, SerialVectorEnv
+
+
+class CountingEnv:
+    """Deterministic: obs = (seed_offset + steps since reset)."""
+
+    observation_space = None
+    action_space = None
+
+    def __init__(self, offset=0):
+        self.offset = offset
+        self.t = 0
+
+    def reset(self):
+        self.t = 0
+        return float(self.offset)
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= 3
+        return float(self.offset + self.t), float(action), done, {}
+
+    def seed(self, seed=None):
+        self.offset = seed or 0
+        return [seed]
+
+    def close(self):
+        pass
+
+
+@pytest.fixture(params=["serial", "multiprocess"])
+def vec_env(request):
+    fns = [lambda i=i: CountingEnv(i * 10) for i in range(3)]
+    if request.param == "serial":
+        env = SerialVectorEnv([fn() for fn in fns])
+    else:
+        env = MultiprocessVectorEnv(fns)
+    yield env
+    if not getattr(env, "closed", False):
+        env.close()
+
+
+def test_reset_and_step_all_lanes(vec_env):
+    obs = vec_env.reset()
+    np.testing.assert_allclose(obs, [0.0, 10.0, 20.0])
+    obs, rs, dones, infos = vec_env.step([1, 2, 3])
+    np.testing.assert_allclose(obs, [1.0, 11.0, 21.0])
+    np.testing.assert_allclose(rs, [1.0, 2.0, 3.0])
+    assert not any(dones)
+    assert len(infos) == 3
+
+
+def test_masked_reset_keeps_running_lane_obs(vec_env):
+    vec_env.reset()
+    for _ in range(3):
+        obs, _, dones, _ = vec_env.step([0, 0, 0])
+    assert all(dones)
+    # Keep lane 1 running (mask True = do NOT reset).
+    obs = vec_env.reset(mask=np.asarray([False, True, False]))
+    np.testing.assert_allclose(obs[0], 0.0)
+    np.testing.assert_allclose(obs[1], 13.0)  # last obs preserved
+    np.testing.assert_allclose(obs[2], 20.0)
+
+
+def test_seed_propagates(vec_env):
+    out = vec_env.seed([7, 8, 9])
+    if out is not None:  # SerialVectorEnv returns None (reference parity)
+        assert [o[0] if isinstance(o, list) else o for o in out] == [7, 8, 9]
+    obs = vec_env.reset()
+    np.testing.assert_allclose(obs, [7.0, 8.0, 9.0])
+
+
+def test_num_envs(vec_env):
+    assert vec_env.num_envs == 3
+
+
+def test_close_rejects_further_use():
+    env = MultiprocessVectorEnv([lambda: CountingEnv()])
+    env.reset()
+    env.close()
+    with pytest.raises(AssertionError):
+        env.step([0])
