@@ -105,19 +105,26 @@ def main():
     batch_grid = [64, 256, 1024]
 
     out = {"lanes_sweep": [], "batch_sweep": [], "backend": jax.default_backend()}
+    path = os.path.join(REPO, "SCALING_r02.json")
+
+    def flush():
+        # Write after every config: the TPU tunnel can wedge mid-sweep and
+        # partial results are still a scaling table.
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
     for lanes in lanes_grid:
         sps = measure(lanes, 32, args.seconds)
         row = {"lanes": lanes, "batch": 32, "env_steps_per_sec": round(sps, 1)}
         out["lanes_sweep"].append(row)
         print(json.dumps(row), flush=True)
+        flush()
     for batch in batch_grid:
         sps = measure(64, batch, args.seconds)
         row = {"lanes": 64, "batch": batch, "env_steps_per_sec": round(sps, 1)}
         out["batch_sweep"].append(row)
         print(json.dumps(row), flush=True)
-
-    with open(os.path.join(REPO, "SCALING_r02.json"), "w") as f:
-        json.dump(out, f, indent=1)
+        flush()
     print(json.dumps(out), flush=True)
 
 
