@@ -173,7 +173,13 @@ class BatchedInferenceServer:
     # ---------------------------------------------------------------- client
     def submit_batch(self, obs, training: bool):
         """Blocking act call for a row-batched observation ``obs[K, ...]``."""
-        req = _Request(obs, _nrows(obs), training)
+        rows = _nrows(obs)
+        if rows > self.n_slots:
+            raise ValueError(
+                f"request of {rows} rows exceeds the server's batch width "
+                f"n_slots={self.n_slots}"
+            )
+        req = _Request(obs, rows, training)
         self._queue.put(req)
         req.event.wait()
         if req.error is not None:
