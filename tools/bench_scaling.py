@@ -97,15 +97,26 @@ def measure(num_envs, minibatch, seconds):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seconds", type=float, default=8.0)
+    parser.add_argument(
+        "--config",
+        default=None,
+        help="run ONE config 'lanes,batch' and merge it into the json "
+        "(resumable sweeps across flaky-tunnel windows)",
+    )
     args = parser.parse_args()
 
     import jax
 
-    lanes_grid = [32, 64, 128, 256]
-    batch_grid = [64, 256, 1024]
-
-    out = {"lanes_sweep": [], "batch_sweep": [], "backend": jax.default_backend()}
     path = os.path.join(REPO, "SCALING_r02.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    else:
+        out = {
+            "lanes_sweep": [],
+            "batch_sweep": [],
+            "backend": jax.default_backend(),
+        }
 
     def flush():
         # Write after every config: the TPU tunnel can wedge mid-sweep and
@@ -113,18 +124,26 @@ def main():
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
 
-    for lanes in lanes_grid:
-        sps = measure(lanes, 32, args.seconds)
-        row = {"lanes": lanes, "batch": 32, "env_steps_per_sec": round(sps, 1)}
-        out["lanes_sweep"].append(row)
+    def record(lanes, batch):
+        sweep = out["lanes_sweep"] if batch == 32 else out["batch_sweep"]
+        if any(r["lanes"] == lanes and r["batch"] == batch for r in sweep):
+            print(f"skip lanes={lanes} batch={batch} (already recorded)")
+            return
+        sps = measure(lanes, batch, args.seconds)
+        row = {"lanes": lanes, "batch": batch, "env_steps_per_sec": round(sps, 1)}
+        sweep.append(row)
         print(json.dumps(row), flush=True)
         flush()
-    for batch in batch_grid:
-        sps = measure(64, batch, args.seconds)
-        row = {"lanes": 64, "batch": batch, "env_steps_per_sec": round(sps, 1)}
-        out["batch_sweep"].append(row)
-        print(json.dumps(row), flush=True)
-        flush()
+
+    if args.config:
+        lanes, batch = (int(v) for v in args.config.split(","))
+        record(lanes, batch)
+        return
+
+    for lanes in [32, 64, 128, 256]:
+        record(lanes, 32)
+    for batch in [64, 256, 1024]:
+        record(64, batch)
     print(json.dumps(out), flush=True)
 
 
