@@ -67,9 +67,9 @@ def train_agent(
                     episode_r,
                 )
                 logger.info("statistics:%s", agent.get_statistics())
-            if evaluator is not None and (not episode_end or eval_during_episode):
-                pass
-            if evaluator is not None and episode_end:
+            if evaluator is not None and (episode_end or eval_during_episode):
+                # eval_during_episode=True checks the schedule every step,
+                # not just at episode boundaries (train_agent.py:81-90).
                 eval_score = evaluator.evaluate_if_necessary(
                     t=t, episodes=episode_idx + 1
                 )

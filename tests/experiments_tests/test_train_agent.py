@@ -146,3 +146,27 @@ def test_with_evaluation_writes_scores_and_stops_on_success(tmp_path):
     with open(os.path.join(str(tmp_path), "scores.txt")) as f:
         header = f.readline().split("\t")
     assert header[:4] == ["steps", "episodes", "elapsed", "mean"]
+
+
+def test_eval_during_episode_checks_schedule_every_step(tmp_path):
+    """eval_during_episode=True evaluates at interval boundaries even
+    mid-episode (reference train_agent.py:81-90)."""
+    agent = make_mock_agent()
+    agent.eval_mode = mock.MagicMock()
+    evaluator = mock.Mock()
+    evaluator.evaluate_if_necessary.return_value = None
+    env = ScriptedEnv(ep_len=1000)  # no episode end within 6 steps
+    train_agent(
+        agent, env, steps=6, outdir=str(tmp_path), evaluator=evaluator,
+        eval_during_episode=True,
+    )
+    assert evaluator.evaluate_if_necessary.call_count == 6
+    # Without the flag, mid-episode steps never consult the evaluator.
+    evaluator2 = mock.Mock()
+    evaluator2.evaluate_if_necessary.return_value = None
+    env2 = ScriptedEnv(ep_len=1000)
+    train_agent(
+        agent, env2, steps=6, outdir=str(tmp_path), evaluator=evaluator2
+    )
+    # Only the final-step episode_end (t == steps) triggers a check.
+    assert evaluator2.evaluate_if_necessary.call_count == 1
