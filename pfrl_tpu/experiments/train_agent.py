@@ -74,9 +74,13 @@ def train_agent(
                     t=t, episodes=episode_idx + 1
                 )
                 if eval_score is not None:
-                    eval_stats_history.append(
-                        {"step": t, "eval_score": eval_score}
-                    )
+                    # History rows carry the agent's statistics alongside
+                    # the score (reference train_agent.py:83-86), plus the
+                    # step for convenience.
+                    eval_stats = dict(agent.get_statistics())
+                    eval_stats["step"] = t
+                    eval_stats["eval_score"] = eval_score
+                    eval_stats_history.append(eval_stats)
                     if successful_score is not None and eval_score >= successful_score:
                         break
             if episode_end:

@@ -94,9 +94,13 @@ def train_agent_batch(
                     t=t, episodes=int(np.sum(episode_idx))
                 )
                 if eval_score is not None:
-                    eval_stats_history.append(
-                        {"step": t, "eval_score": eval_score}
-                    )
+                    # History rows carry the agent's statistics alongside
+                    # the score (reference train_agent.py:83-86), plus the
+                    # step for convenience.
+                    eval_stats = dict(agent.get_statistics())
+                    eval_stats["step"] = t
+                    eval_stats["eval_score"] = eval_score
+                    eval_stats_history.append(eval_stats)
                     if successful_score is not None and eval_score >= successful_score:
                         break
 
