@@ -52,7 +52,7 @@ def test_synchronous_mode_trains_and_returns_agent(tmp_path):
         processes=2,
         make_env=lambda idx, test: ScriptedEnv(),
         steps=20,
-        eval_interval=None,
+        eval_interval=10**6,  # never fires within 20 steps
         eval_n_steps=None,
         eval_n_episodes=1,
         agent=agent,
