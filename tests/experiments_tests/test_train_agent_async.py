@@ -39,6 +39,7 @@ class ScriptedEnv:
 def make_mock_agent():
     agent = mock.Mock()
     agent.act.return_value = 0
+    agent.batch_act.side_effect = lambda obss: np.zeros(len(obss), int)
     agent.get_statistics.return_value = []
     agent.process_idx = 0
     return agent
@@ -58,9 +59,10 @@ def test_synchronous_mode_trains_and_returns_agent(tmp_path):
         agent=agent,
     )
     assert out is agent
-    # The driver stepped the agent roughly `steps` times across envs.
-    assert agent.act.call_count >= 20
-    assert agent.observe.call_count == agent.act.call_count
+    # The synchronous mapping drives the batch interface: 2 env lanes per
+    # vector step -> >= steps/2 batch_act calls.
+    assert agent.batch_act.call_count >= 10
+    assert agent.batch_observe.call_count == agent.batch_act.call_count
 
 
 def test_actor_learner_mode_requires_make_agent(tmp_path):
