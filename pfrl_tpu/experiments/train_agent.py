@@ -1,23 +1,23 @@
-"""Serial training driver (reference parity: pfrl/experiments/train_agent.py).
+"""Serial training driver (reference contract: pfrl/experiments/train_agent.py).
 
-Same contract as the reference's ``train_agent_with_evaluation``
-(train_agent.py:114): per-step act/step/observe over a single host env,
-periodic evaluation, checkpointing, crash-save. This is the compatibility
-path for external envs; pure-JAX envs should use the on-device runner
-instead (experiments/runner.py).
+Same public API and observable behavior as the reference's
+``train_agent_with_evaluation`` (train_agent.py:114): per-step
+act/step/observe over one host env, the done-vs-reset truncation
+distinction, scheduled evaluation with success-based early stop, periodic
+checkpoints, crash saves. The implementation is this repo's own shape —
+an episode-nested loop over the shared :class:`TrainRun` services
+(train_loop.py) — rather than the reference's flat while-loop. This is
+the compatibility path for external envs; pure-JAX envs should use the
+on-device runner instead (experiments/runner.py).
 """
 
 import logging
 import os
-from typing import List, Optional
+from typing import Optional
 
-from pfrl_tpu.experiments.evaluator import Evaluator
+from pfrl_tpu.experiments.train_loop import TrainRun, build_evaluator, save_agent
 
-
-def save_agent(agent, t, outdir, logger, suffix=""):
-    dirname = os.path.join(outdir, f"{t}{suffix}")
-    agent.save(dirname)
-    logger.info("Saved the agent to %s", dirname)
+__all__ = ["train_agent", "train_agent_with_evaluation", "save_agent"]
 
 
 def train_agent(
@@ -28,78 +28,63 @@ def train_agent(
     checkpoint_freq=None,
     max_episode_len=None,
     step_offset: int = 0,
-    evaluator: Optional[Evaluator] = None,
+    evaluator=None,
     successful_score=None,
     step_hooks=(),
     eval_during_episode: bool = False,
     logger=None,
 ):
-    """Hot loop (train_agent.py:24-111)."""
-    logger = logger or logging.getLogger(__name__)
-    episode_r = 0
-    episode_idx = 0
-
-    obs = env.reset()
-
-    t = step_offset
-    eval_stats_history: List[dict] = []
-    episode_len = 0
-    try:
-        while t < steps:
-            a = agent.act(obs)
-            obs, r, done, info = env.step(a)
-            t += 1
-            episode_r += r
-            episode_len += 1
-            reset = episode_len == max_episode_len or info.get("needs_reset", False)
-            agent.observe(obs, r, done, reset)
-
-            for hook in step_hooks:
-                hook(env, agent, t)
-
-            episode_end = done or reset or t == steps
-            if episode_end:
-                logger.info(
-                    "outdir:%s step:%s episode:%s R:%s",
-                    outdir,
-                    t,
-                    episode_idx,
-                    episode_r,
+    run = TrainRun(
+        agent=agent,
+        outdir=outdir,
+        logger=logger or logging.getLogger(__name__),
+        env=env,
+        evaluator=evaluator,
+        successful_score=successful_score,
+        checkpoint_freq=checkpoint_freq,
+        step_hooks=step_hooks,
+        t=step_offset,
+    )
+    episode = 0
+    with run.crash_save_on_error():
+        while run.t < steps and not run.stop_requested:
+            # ---- one episode (or the tail of the step budget) ----
+            obs = env.reset()
+            ep_return = 0.0
+            ep_len = 0
+            while True:
+                obs, reward, done, info = env.step(agent.act(obs))
+                run.t += 1
+                ep_len += 1
+                ep_return += reward
+                truncated = ep_len == max_episode_len or bool(
+                    info.get("needs_reset", False)
                 )
-                logger.info("statistics:%s", agent.get_statistics())
-            if evaluator is not None and (episode_end or eval_during_episode):
-                # eval_during_episode=True checks the schedule every step,
-                # not just at episode boundaries (train_agent.py:81-90).
-                eval_score = evaluator.evaluate_if_necessary(
-                    t=t, episodes=episode_idx + 1
-                )
-                if eval_score is not None:
-                    # History rows carry the agent's statistics alongside
-                    # the score (reference train_agent.py:83-86), plus the
-                    # step for convenience.
-                    eval_stats = dict(agent.get_statistics())
-                    eval_stats["step"] = t
-                    eval_stats["eval_score"] = eval_score
-                    eval_stats_history.append(eval_stats)
-                    if successful_score is not None and eval_score >= successful_score:
-                        break
-            if episode_end:
-                if t == steps:
+                # The agent bootstraps through truncation but not through
+                # termination (ContinuingTimeLimit semantics,
+                # pfrl/wrappers/continuing_time_limit.py:4-41).
+                agent.observe(obs, reward, done, truncated)
+                run.fire_step_hooks()
+
+                boundary = done or truncated or run.t == steps
+                if boundary:
+                    run.logger.info(
+                        "outdir:%s step:%s episode:%s R:%s",
+                        outdir, run.t, episode, ep_return,
+                    )
+                    run.logger.info("statistics:%s", agent.get_statistics())
+                if boundary or eval_during_episode:
+                    # eval_during_episode consults the schedule every step,
+                    # not only at boundaries (reference train_agent.py:81-90).
+                    run.eval_point(episodes=episode + 1)
+                stopping = run.stop_requested or run.t == steps
+                if not stopping:
+                    run.checkpoint_if_due()
+                if boundary or stopping:
                     break
-                episode_r = 0
-                episode_idx += 1
-                episode_len = 0
-                obs = env.reset()
-            if checkpoint_freq and t % checkpoint_freq == 0:
-                save_agent(agent, t, outdir, logger, suffix="_checkpoint")
-
-    except (Exception, KeyboardInterrupt):
-        # Crash-save (train_agent.py:103-106).
-        save_agent(agent, t, outdir, logger, suffix="_except")
-        raise
-
-    save_agent(agent, t, outdir, logger, suffix="_finish")
-    return eval_stats_history
+            episode += 1
+    run.finish()
+    return run.history
 
 
 def train_agent_with_evaluation(
@@ -126,28 +111,25 @@ def train_agent_with_evaluation(
     """Reference signature (train_agent.py:114-199)."""
     logger = logger or logging.getLogger(__name__)
     os.makedirs(outdir, exist_ok=True)
-
-    if eval_env is None:
-        eval_env = env
-    if eval_max_episode_len is None:
-        eval_max_episode_len = train_max_episode_len
-
-    evaluator = Evaluator(
-        agent=agent,
-        env=eval_env,
-        n_steps=eval_n_steps,
-        n_episodes=eval_n_episodes,
+    evaluator = build_evaluator(
+        agent,
+        env if eval_env is None else eval_env,
+        outdir,
+        eval_n_steps=eval_n_steps,
+        eval_n_episodes=eval_n_episodes,
         eval_interval=eval_interval,
-        outdir=outdir,
-        max_episode_len=eval_max_episode_len,
+        eval_max_episode_len=(
+            train_max_episode_len
+            if eval_max_episode_len is None
+            else eval_max_episode_len
+        ),
         step_offset=step_offset,
         evaluation_hooks=evaluation_hooks,
         save_best_so_far_agent=save_best_so_far_agent,
         use_tensorboard=use_tensorboard,
         logger=logger,
     )
-
-    eval_stats_history = train_agent(
+    history = train_agent(
         agent,
         env,
         steps,
@@ -161,4 +143,4 @@ def train_agent_with_evaluation(
         eval_during_episode=eval_during_episode,
         logger=logger,
     )
-    return agent, eval_stats_history
+    return agent, history

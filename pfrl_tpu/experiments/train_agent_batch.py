@@ -1,17 +1,21 @@
-"""Vector-env training driver (reference parity: pfrl/experiments/train_agent_batch.py).
+"""Vector-env training driver (reference contract: pfrl/experiments/train_agent_batch.py).
 
-Mirrors the reference loop including the done-vs-reset distinction and
-masked resets (train_agent_batch.py:10-154).
+Same public API and observable behavior as the reference's
+``train_agent_batch_with_evaluation`` (train_agent_batch.py:157):
+batch_act/batch_observe over a VectorEnv, per-lane episode accounting,
+masked resets (finished lanes only), log_interval throughput lines. The
+implementation shape is this repo's own: per-lane numpy bookkeeping over
+the shared :class:`TrainRun` services (train_loop.py).
 """
 
+import collections
 import logging
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
-from pfrl_tpu.experiments.evaluator import Evaluator
-from pfrl_tpu.experiments.train_agent import save_agent
+from pfrl_tpu.experiments.train_loop import TrainRun, build_evaluator
 
 
 def train_agent_batch(
@@ -29,97 +33,80 @@ def train_agent_batch(
     return_window_size: int = 100,
     logger=None,
 ):
-    logger = logger or logging.getLogger(__name__)
-    recent_returns: List[float] = []
-
-    num_envs = env.num_envs
-    episode_r = np.zeros(num_envs, dtype=np.float64)
-    episode_idx = np.zeros(num_envs, dtype="i")
-    episode_len = np.zeros(num_envs, dtype="i")
-
-    obss = env.reset()
-
-    t = step_offset
+    run = TrainRun(
+        agent=agent,
+        outdir=outdir,
+        logger=logger or logging.getLogger(__name__),
+        env=env,
+        evaluator=evaluator,
+        successful_score=successful_score,
+        checkpoint_freq=checkpoint_freq,
+        step_hooks=step_hooks,
+        t=step_offset,
+    )
+    n = env.num_envs
     if hasattr(agent, "t"):
         agent.t = step_offset
+    lane_return = np.zeros(n, np.float64)
+    lane_len = np.zeros(n, np.int64)
+    episodes_done = 0
+    window = collections.deque(maxlen=return_window_size)
 
-    eval_stats_history: List[dict] = []
     try:
-        while t < steps:
-            actions = agent.batch_act(obss)
-            obss, rs, dones, infos = env.step(actions)
-            episode_r += rs
-            episode_len += 1
-
-            # Compute mask for done and reset (train_agent_batch.py:74-80).
-            resets = np.logical_or(
-                episode_len == max_episode_len,
-                [info.get("needs_reset", False) for info in infos],
-            )
-            # Agent observes the consequences.
-            agent.batch_observe(obss, rs, dones, resets)
-
-            # Make mask: 0 if done or reset, 1 if pass.
-            end = np.logical_or(resets, dones)
-            not_end = np.logical_not(end)
-
-            for index in range(len(end)):
-                if end[index]:
-                    recent_returns.append(float(episode_r[index]))
-                    if len(recent_returns) > return_window_size:
-                        recent_returns.pop(0)
-
-            episode_idx += end
-            t += num_envs
-
-            for hook in step_hooks:
-                hook(env, agent, t)
-
-            if (
-                log_interval is not None
-                and t >= step_offset
-                and t % log_interval < num_envs
-            ):
-                logger.info(
-                    "outdir:%s step:%s episode:%s last_R: %s average_R:%s",
-                    outdir,
-                    t,
-                    np.sum(episode_idx),
-                    recent_returns[-1] if recent_returns else np.nan,
-                    np.mean(recent_returns) if recent_returns else np.nan,
+        with run.crash_save_on_error():
+            obss = env.reset()
+            while run.t < steps and not run.stop_requested:
+                obss, rewards, dones, infos = env.step(agent.batch_act(obss))
+                lane_return += rewards
+                lane_len += 1
+                truncated = np.fromiter(
+                    (
+                        lane_len[i] == max_episode_len
+                        or bool(infos[i].get("needs_reset", False))
+                        for i in range(n)
+                    ),
+                    bool,
+                    count=n,
                 )
-                logger.info("statistics: %s", agent.get_statistics())
-            if evaluator is not None:
-                eval_score = evaluator.evaluate_if_necessary(
-                    t=t, episodes=int(np.sum(episode_idx))
-                )
-                if eval_score is not None:
-                    # History rows carry the agent's statistics alongside
-                    # the score (reference train_agent.py:83-86), plus the
-                    # step for convenience.
-                    eval_stats = dict(agent.get_statistics())
-                    eval_stats["step"] = t
-                    eval_stats["eval_score"] = eval_score
-                    eval_stats_history.append(eval_stats)
-                    if successful_score is not None and eval_score >= successful_score:
-                        break
+                # Lanes bootstrap through truncation, not termination
+                # (same contract as the serial driver).
+                agent.batch_observe(obss, rewards, dones, truncated)
+                run.t += n
 
-            if checkpoint_freq and t % checkpoint_freq < num_envs:
-                save_agent(agent, t, outdir, logger, suffix="_checkpoint")
+                ended = np.logical_or(dones, truncated)
+                window.extend(lane_return[ended])
+                episodes_done += int(np.sum(ended))
+                run.fire_step_hooks()
 
-            # Reset only finished envs; keep the rest running
-            # (train_agent_batch.py:141).
-            episode_r[end] = 0
-            episode_len[end] = 0
-            obss = env.reset(not_end)
+                if (
+                    log_interval is not None
+                    and run.t >= step_offset
+                    and run.t % log_interval < n
+                ):
+                    run.logger.info(
+                        "outdir:%s step:%s episode:%s last_R: %s average_R:%s",
+                        outdir,
+                        run.t,
+                        episodes_done,
+                        window[-1] if window else np.nan,
+                        np.mean(window) if window else np.nan,
+                    )
+                    run.logger.info("statistics: %s", agent.get_statistics())
+                run.eval_point(episodes=episodes_done)
+                if run.stop_requested:
+                    break
+                run.checkpoint_if_due(stride=n)
 
+                # Masked reset: only finished lanes restart
+                # (reference train_agent_batch.py:141).
+                lane_return[ended] = 0.0
+                lane_len[ended] = 0
+                obss = env.reset(np.logical_not(ended))
     except (Exception, KeyboardInterrupt):
-        save_agent(agent, t, outdir, logger, suffix="_except")
         env.close()
         raise
-    else:
-        save_agent(agent, t, outdir, logger, suffix="_finish")
-    return eval_stats_history
+    run.finish()
+    return run.history
 
 
 def train_agent_batch_with_evaluation(
@@ -147,28 +134,25 @@ def train_agent_batch_with_evaluation(
     """Reference signature (train_agent_batch.py:157-245)."""
     logger = logger or logging.getLogger(__name__)
     os.makedirs(outdir, exist_ok=True)
-
-    if eval_env is None:
-        eval_env = env
-    if eval_max_episode_len is None:
-        eval_max_episode_len = max_episode_len
-
-    evaluator = Evaluator(
-        agent=agent,
-        env=eval_env,
-        n_steps=eval_n_steps,
-        n_episodes=eval_n_episodes,
+    evaluator = build_evaluator(
+        agent,
+        env if eval_env is None else eval_env,
+        outdir,
+        eval_n_steps=eval_n_steps,
+        eval_n_episodes=eval_n_episodes,
         eval_interval=eval_interval,
-        outdir=outdir,
-        max_episode_len=eval_max_episode_len,
+        eval_max_episode_len=(
+            max_episode_len
+            if eval_max_episode_len is None
+            else eval_max_episode_len
+        ),
         step_offset=step_offset,
         evaluation_hooks=evaluation_hooks,
         save_best_so_far_agent=save_best_so_far_agent,
         use_tensorboard=use_tensorboard,
         logger=logger,
     )
-
-    eval_stats_history = train_agent_batch(
+    history = train_agent_batch(
         agent,
         env,
         steps,
@@ -183,4 +167,4 @@ def train_agent_batch_with_evaluation(
         step_hooks=step_hooks,
         logger=logger,
     )
-    return agent, eval_stats_history
+    return agent, history
