@@ -450,12 +450,12 @@ class DQN(AttributeSavingMixin, BatchAgent):
                         cat = lambda *xs: jnp.asarray(
                             np.concatenate([np.asarray(x) for x in xs])
                         )
-                    # A ring with store_next_obs=False derives the bootstrap
+                    # A ring with wants_next_obs=False derives the bootstrap
                     # obs from the successor row and discards next_obs at
                     # add() (replay/uniform.py:205-208) — skip its
                     # concatenation AND its device upload entirely here
                     # (halves the poller's H2D volume for image obs).
-                    if getattr(self.buffer, "store_next_obs", True):
+                    if self.buffer.wants_next_obs:
                         next_obs = jax.tree.map(
                             cat, *[r["next_obs"] for r in rows]
                         )

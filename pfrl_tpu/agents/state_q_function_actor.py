@@ -111,6 +111,21 @@ class VectorStateQFunctionActor(StateQFunctionActor):
                          learner_agent=learner_agent, logger=logger)
         self.num_lanes = num_lanes
 
+    def act(self, obs):
+        raise TypeError(
+            "VectorStateQFunctionActor drives num_lanes env lanes: use "
+            "batch_act(obs_list), not the single-row act()."
+        )
+
+    def observe(self, obs, reward, done, reset):
+        # A K-lane actor shipping single rows would make the poller's
+        # k-row concatenation mis-shape the replay ring and inflate step
+        # counts by K — fail fast instead (ADVICE r2).
+        raise TypeError(
+            "VectorStateQFunctionActor ships [num_lanes, ...] rows: use "
+            "batch_observe(...), not the single-row observe()."
+        )
+
     def _collate(self, obs_list):
         if isinstance(obs_list, np.ndarray):
             return obs_list

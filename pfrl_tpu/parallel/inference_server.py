@@ -84,6 +84,12 @@ class BatchedInferenceServer:
         # one-request batches back to back (which serializes every actor
         # behind n_actors padded forwards).
         self._fwd_ema = 0.0
+        # Which training-flag values have already paid their jit compile.
+        # The first batch per flag value (and any gross outlier, e.g. a
+        # tunnel hiccup) is excluded from the EMA — otherwise a multi-second
+        # compile seeds it and every partial batch stalls ~half a compile
+        # waiting for stragglers until the 0.9-decay EMA recovers.
+        self._compiled_flags = set()
 
     # ---------------------------------------------------------------- server
     def start(self) -> None:
@@ -108,7 +114,11 @@ class BatchedInferenceServer:
             # closes (a mismatched training flag starts the next batch).
             import time as _time
 
-            deadline = _time.monotonic() + max(self.timeout, 0.5 * self._fwd_ema)
+            # Window clamped to 50 ms: even a poisoned/volatile forward
+            # estimate can never stall a partial batch indefinitely.
+            deadline = _time.monotonic() + min(
+                0.05, max(self.timeout, 0.5 * self._fwd_ema)
+            )
             while rows < self.n_slots:
                 remaining = deadline - _time.monotonic()
                 if remaining <= 0:
@@ -126,9 +136,16 @@ class BatchedInferenceServer:
                 t0 = _time.monotonic()
                 self._run_batch(batch, rows)
                 dt = _time.monotonic() - t0
-                self._fwd_ema = dt if not self._fwd_ema else (
-                    0.9 * self._fwd_ema + 0.1 * dt
-                )
+                if first.training not in self._compiled_flags:
+                    # First call per flag value includes jit compilation;
+                    # record the flag, discard the sample.
+                    self._compiled_flags.add(first.training)
+                elif self._fwd_ema and dt > 10.0 * self._fwd_ema:
+                    pass  # gross outlier (tunnel hiccup/recompile): discard
+                else:
+                    self._fwd_ema = dt if not self._fwd_ema else (
+                        0.9 * self._fwd_ema + 0.1 * dt
+                    )
             except Exception as e:  # propagate to all waiting actors
                 for req in batch:
                     req.error = e
@@ -172,7 +189,21 @@ class BatchedInferenceServer:
 
     # ---------------------------------------------------------------- client
     def submit_batch(self, obs, training: bool):
-        """Blocking act call for a row-batched observation ``obs[K, ...]``."""
+        """Blocking act call for a row-batched observation ``obs[K, ...]``.
+
+        Every leaf must carry the same leading (row) dimension K — an
+        unbatched observation would otherwise be misread as K rows of its
+        first axis (e.g. an [84,84,4] frame as 84 requests).
+        """
+        import jax
+
+        leaves = [np.asarray(x) for x in jax.tree.leaves(obs)]
+        dims = {x.shape[0] if x.ndim else None for x in leaves}
+        if len(dims) != 1 or None in dims:
+            raise ValueError(
+                f"submit_batch requires [K, ...] leaves with one shared "
+                f"leading dimension; got leading dims {sorted(map(str, dims))}"
+            )
         rows = _nrows(obs)
         if rows > self.n_slots:
             raise ValueError(

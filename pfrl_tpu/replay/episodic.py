@@ -60,6 +60,12 @@ class EpisodicReplayBuffer:
         self.max_episode_len = max_episode_len
         self.num_lanes = num_lanes
 
+    @property
+    def wants_next_obs(self) -> bool:
+        """Buffer-protocol flag (see ReplayBuffer.wants_next_obs):
+        episodic storage keeps whole trajectories, next_obs included."""
+        return True
+
     def configure_lanes(self, num_lanes: int) -> "EpisodicReplayBuffer":
         return EpisodicReplayBuffer(
             self.max_episodes, self.max_episode_len, num_lanes

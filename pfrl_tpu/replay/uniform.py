@@ -151,6 +151,14 @@ class ReplayBuffer:
         self.use_pallas = use_pallas
         self.fused_dequant_scale = fused_dequant_scale
 
+    @property
+    def wants_next_obs(self) -> bool:
+        """Stable protocol for host pollers: whether ``add`` consumes the
+        ``next_obs`` leaf (False = derived from the successor ring slot, so
+        callers may skip collating/uploading it entirely). Part of the
+        buffer API so pollers and buffers cannot drift apart (ADVICE r2)."""
+        return self.store_next_obs
+
     def _pallas_mode(self) -> Optional[str]:
         """None (XLA), "compiled", or "interpret" — resolved at trace time."""
         if self.use_pallas is not True:
