@@ -15,21 +15,58 @@ import numpy as np
 import optax
 import pytest
 
-from pfrl_tpu.agents import DQN
+from pfrl_tpu.agents import DQN, DoubleDQN, CategoricalDQN, IQN
 from pfrl_tpu.envs import ABC
 from pfrl_tpu.envs.host_adapter import HostJaxEnv
 from pfrl_tpu.experiments import train_agent_async
 from pfrl_tpu.explorers import ConstantEpsilonGreedy
+from pfrl_tpu.models import MLP
 from pfrl_tpu.parallel import BatchedInferenceServer
-from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+from pfrl_tpu.q_functions import (
+    DistributionalFCStateQFunctionWithDiscreteAction,
+    FCStateQFunctionWithDiscreteAction,
+    ImplicitQuantileQFunction,
+)
 from pfrl_tpu.replay import ReplayBuffer
 
 
-def make_agent():
-    return DQN(
-        q_function=FCStateQFunctionWithDiscreteAction(
-            n_actions=2, n_hidden_channels=16, n_hidden_layers=1
-        ),
+def _scalar_qf():
+    return FCStateQFunctionWithDiscreteAction(
+        n_actions=2, n_hidden_channels=16, n_hidden_layers=1
+    )
+
+
+def _c51_qf():
+    return DistributionalFCStateQFunctionWithDiscreteAction(
+        n_actions=2,
+        n_atoms=17,
+        v_min=-1.0,
+        v_max=2.0,
+        n_hidden_channels=16,
+        n_hidden_layers=1,
+    )
+
+
+def _iqn_qf():
+    return ImplicitQuantileQFunction(
+        psi=MLP(out_size=16, hidden_sizes=(16,)), n_actions=2
+    )
+
+
+# The reference runs its actor-learner bucket across the DQN family
+# (tests/agents_tests/basetest_training.py:178-289 used by test_dqn.py,
+# test_double_dqn.py, test_categorical_dqn.py, test_iqn.py).
+AGENT_FAMILY = [
+    ("dqn", DQN, _scalar_qf),
+    ("double_dqn", DoubleDQN, _scalar_qf),
+    ("categorical_dqn", CategoricalDQN, _c51_qf),
+    ("iqn", IQN, _iqn_qf),
+]
+
+
+def make_agent(agent_cls=DQN, qf_factory=_scalar_qf):
+    return agent_cls(
+        q_function=qf_factory(),
         optimizer=optax.adam(1e-2),
         replay_buffer=ReplayBuffer(capacity=256, num_lanes=2),
         gamma=0.9,
@@ -41,9 +78,12 @@ def make_agent():
     )
 
 
-def test_actor_learner_training_fast(tmp_path):
+@pytest.mark.parametrize(
+    "name,agent_cls,qf_factory", AGENT_FAMILY, ids=[a[0] for a in AGENT_FAMILY]
+)
+def test_actor_learner_training_fast(tmp_path, name, agent_cls, qf_factory):
     steps = 60
-    agent = make_agent()
+    agent = make_agent(agent_cls, qf_factory)
     assert agent.cumulative_steps == 0
 
     def make_env(process_idx, test):
@@ -275,3 +315,59 @@ def test_vector_actor_learner_training():
     assert agent.cumulative_steps >= 8
     # Replay ring was reconfigured to the full lane count.
     assert agent.buffer.num_lanes == 2 * K
+
+
+def test_inference_server_concurrent_submission_under_snapshot_swaps():
+    """N actor threads submit row-batches while a 'learner' thread swaps
+    the published snapshot continuously — the race the reference guards
+    with replay_buffer_lock + shared_model copies (pfrl/agents/dqn.py:757,
+    687-691). Every reply must be routed to its caller, computed against
+    exactly ONE snapshot (no torn batch), and snapshots seen by any one
+    actor must be non-decreasing (pointer swaps are atomic)."""
+    published = {"v": 0}
+    stop = threading.Event()
+
+    def act_fn(seed, obs, t, training):
+        v = published["v"]  # one snapshot read per batch
+        time.sleep(0.0005)  # widen the race window
+        # action := snapshot id + row tag, so routing AND tearing both show
+        return np.asarray([v * 1000 + int(o[0]) for o in obs])
+
+    def learner_loop():
+        while not stop.is_set():
+            published["v"] += 1
+            time.sleep(0.0002)
+
+    server = BatchedInferenceServer(act_fn, n_slots=8)
+    server.start()
+    swapper = threading.Thread(target=learner_loop, daemon=True)
+    swapper.start()
+    errors = []
+
+    def actor_loop(i):
+        last_v = -1
+        try:
+            for _ in range(50):
+                obs = np.stack([[float(i * 2 + j), 0.0] for j in range(2)])
+                out = server.submit_batch(obs, True)
+                vs = {int(a) // 1000 for a in out}
+                tags = [int(a) % 1000 for a in out]
+                assert len(vs) == 1, f"torn batch: {out}"
+                v = vs.pop()
+                assert v >= last_v, "snapshot went backwards"
+                last_v = v
+                assert tags == [i * 2, i * 2 + 1], f"misrouted: {out}"
+        except Exception as e:  # pragma: no cover - assertion reporting
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=actor_loop, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    swapper.join()
+    server.stop()
+    assert not errors, errors

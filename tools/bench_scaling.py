@@ -1,18 +1,22 @@
 #!/usr/bin/env python
-"""DQN lanes x batch scaling table on one chip (VERDICT r1 item 2).
+"""DQN lanes x batch scaling table on one chip (VERDICT r2 #3).
 
 Sweeps the on-device DQN/AtariSim workload (same shape as bench.py's dqn
-anchor) over env-lane counts at the Nature cadence, and over update batch
-sizes at fixed lanes, to show where the framework's throughput ceiling is
-(it should scale with lanes until the update pipeline saturates the chip,
-not plateau from framework overhead).
+anchor, Nature cadence: one batch-B update per 4 env transitions) over
+the lanes x batch grid, reporting env-steps/s plus an analytic
+achieved-FLOP/s / MFU estimate per config — answering "is the framework
+or the workload the limit": throughput should rise with lanes until the
+chip saturates, and MFU should rise with batch (bigger matmuls).
 
-Writes SCALING_r02.json at the repo root:
-  {"lanes_sweep": [{lanes, batch, env_steps_per_sec}, ...],
-   "batch_sweep":  [...],
-   "backend": "tpu"}
+Writes SCALING_r03.json at the repo root:
+  {"rows": [{lanes, batch, steps_per_sec, updates_per_sec,
+             achieved_tflops, mfu_pct}, ...],
+   "mfu_note": "...", "backend": "tpu"}
 
-Usage: python tools/bench_scaling.py [--seconds 8]
+Resumable: rerun after a tunnel wedge and completed configs are skipped;
+--config "lanes,batch" measures one cell.
+
+Usage: python tools/bench_scaling.py [--seconds 8] [--config 64,32]
 """
 
 import argparse
@@ -27,6 +31,20 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+LANES = [16, 32, 64, 128, 256, 512]
+BATCHES = [32, 128, 512]
+PEAK_BF16 = 197e12  # TPU v5 lite public spec
+
+# NatureCNN forward FLOPs/sample (same analytic count as bench.py).
+N_ACTIONS = 6
+FWD_FLOPS = 2 * (
+    20 * 20 * 32 * 8 * 8 * 4
+    + 9 * 9 * 64 * 4 * 4 * 32
+    + 7 * 7 * 64 * 3 * 3 * 64
+    + 3136 * 512
+    + 512 * N_ACTIONS
+)
 
 
 def measure(num_envs, minibatch, seconds):
@@ -44,18 +62,16 @@ def measure(num_envs, minibatch, seconds):
     from pfrl_tpu.replay import ReplayBuffer
     from pfrl_tpu.utils import atari_phi
 
-    n_actions = 6
-
     class NatureQ(nn.Module):
         @nn.compact
         def __call__(self, x):
             h = LargeAtariCNN()(x)
-            return DiscreteActionValueHead()(nn.Dense(n_actions)(h))
+            return DiscreteActionValueHead()(nn.Dense(N_ACTIONS)(h))
 
     core = DQNCore(
         model=NatureQ(),
         optimizer=optax.rmsprop(2.5e-4, decay=0.95, eps=1e-2),
-        explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 1_000_000, n_actions),
+        explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 1_000_000, N_ACTIONS),
         gamma=0.99,
         batch_accumulator="sum",
         phi=atari_phi,
@@ -68,7 +84,7 @@ def measure(num_envs, minibatch, seconds):
         minibatch_size=minibatch,
     )
     runner = OffPolicyRunner(
-        AtariSim(n_actions=n_actions),
+        AtariSim(n_actions=N_ACTIONS),
         core,
         ReplayBuffer(
             100_000,
@@ -80,8 +96,10 @@ def measure(num_envs, minibatch, seconds):
         cfg,
     )
     state = runner.init(jax.random.PRNGKey(0))
-    chunk = max(64, 4096 // num_envs)
+    chunk = max(32, 4096 // num_envs)
     state, metrics = runner.run_chunk(state, chunk)  # compile + fill
+    jax.block_until_ready(metrics["loss"])
+    state, metrics = runner.run_chunk(state, chunk)  # warm, same shape
     jax.block_until_ready(metrics["loss"])
     n, t0 = 0, time.time()
     while time.time() - t0 < seconds:
@@ -100,22 +118,26 @@ def main():
     parser.add_argument(
         "--config",
         default=None,
-        help="run ONE config 'lanes,batch' and merge it into the json "
-        "(resumable sweeps across flaky-tunnel windows)",
+        help="run ONE config 'lanes,batch' and merge it into the json",
     )
     args = parser.parse_args()
 
     import jax
 
-    path = os.path.join(REPO, "SCALING_r02.json")
+    path = os.path.join(REPO, "SCALING_r03.json")
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
     else:
         out = {
-            "lanes_sweep": [],
-            "batch_sweep": [],
+            "rows": [],
             "backend": jax.default_backend(),
+            "mfu_note": (
+                "MFU = analytic NatureCNN FLOPs (act fwd over all lanes + "
+                "4x-fwd-equivalent per batch-B update at one update per 4 "
+                "transitions) / measured wall time / 197 TFLOP/s bf16 peak "
+                "(TPU v5e)."
+            ),
         }
 
     def flush():
@@ -125,13 +147,24 @@ def main():
             json.dump(out, f, indent=1)
 
     def record(lanes, batch):
-        sweep = out["lanes_sweep"] if batch == 32 else out["batch_sweep"]
-        if any(r["lanes"] == lanes and r["batch"] == batch for r in sweep):
+        if any(
+            r["lanes"] == lanes and r["batch"] == batch for r in out["rows"]
+        ):
             print(f"skip lanes={lanes} batch={batch} (already recorded)")
             return
         sps = measure(lanes, batch, args.seconds)
-        row = {"lanes": lanes, "batch": batch, "env_steps_per_sec": round(sps, 1)}
-        sweep.append(row)
+        # Per env transition: one act forward + (1/4 update) x batch x
+        # 4-fwd-equivalents = fwd x (1 + batch).
+        achieved = sps * FWD_FLOPS * (1 + batch)
+        row = {
+            "lanes": lanes,
+            "batch": batch,
+            "steps_per_sec": round(sps, 1),
+            "updates_per_sec": round(sps / 4, 1),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "mfu_pct": round(100 * achieved / PEAK_BF16, 2),
+        }
+        out["rows"].append(row)
         print(json.dumps(row), flush=True)
         flush()
 
@@ -140,10 +173,9 @@ def main():
         record(lanes, batch)
         return
 
-    for lanes in [32, 64, 128, 256]:
-        record(lanes, 32)
-    for batch in [64, 256, 1024]:
-        record(64, batch)
+    for batch in BATCHES:
+        for lanes in LANES:
+            record(lanes, batch)
     print(json.dumps(out), flush=True)
 
 
