@@ -11,13 +11,14 @@ the device.
 import multiprocessing as mp
 from multiprocessing.connection import Connection
 
+import cloudpickle
 import numpy as np
 
 from pfrl_tpu.env import VectorEnv
 
 
-def _worker(remote: Connection, env_fn) -> None:
-    env = env_fn()
+def _worker(remote: Connection, env_fn_bytes: bytes) -> None:
+    env = cloudpickle.loads(env_fn_bytes)()
     try:
         while True:
             cmd, data = remote.recv()
@@ -46,10 +47,28 @@ def _worker(remote: Connection, env_fn) -> None:
 class MultiprocessVectorEnv(VectorEnv):
     def __init__(self, env_fns):
         nenvs = len(env_fns)
-        ctx = mp.get_context("fork")
+        # forkserver, NOT fork: this env is built AFTER jax import in every
+        # real program, and forking a multithreaded process (jax runtime
+        # threads) is a deadlock class on TPU hosts. The forkserver daemon
+        # never touches jax, so workers start from a clean single-threaded
+        # image. Factories ship as cloudpickle bytes so lambdas/closures
+        # keep working as they did under fork.
+        ctx = mp.get_context("forkserver")
+        try:
+            # Pre-import the package once in the forkserver daemon: workers
+            # then fork from a warm image that has imported (but never
+            # initialized) jax — no threads exist in the daemon, so the
+            # fork stays safe and worker startup drops from seconds to ms.
+            ctx.set_forkserver_preload(["pfrl_tpu.envs.multiprocess_vector_env"])
+        except Exception:
+            pass
         self.remotes, self.work_remotes = zip(*[ctx.Pipe() for _ in range(nenvs)])
         self.ps = [
-            ctx.Process(target=_worker, args=(work_remote, env_fn), daemon=True)
+            ctx.Process(
+                target=_worker,
+                args=(work_remote, cloudpickle.dumps(env_fn)),
+                daemon=True,
+            )
             for (work_remote, env_fn) in zip(self.work_remotes, env_fns)
         ]
         for p in self.ps:

@@ -87,3 +87,27 @@ def test_close_rejects_further_use():
     env.close()
     with pytest.raises(AssertionError):
         env.step([0])
+
+
+def test_forkserver_no_fork_after_jax_threads_warning():
+    """MultiprocessVectorEnv must not fork the (multithreaded) jax process:
+    workers start via forkserver, so Python's fork-after-threads
+    DeprecationWarning — a real deadlock class on TPU hosts — never fires
+    (VERDICT r2 #6)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.jit(lambda x: x + 1)(jnp.zeros(()))  # ensure jax threads are live
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        env = MultiprocessVectorEnv([lambda: CountingEnv(3)])
+        obs = env.reset()
+        env.step([1])
+        env.close()
+    np.testing.assert_allclose(obs, [3.0])
+    fork_warnings = [
+        w for w in caught if "fork" in str(w.message).lower()
+    ]
+    assert not fork_warnings, [str(w.message) for w in fork_warnings]
