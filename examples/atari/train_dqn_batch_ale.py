@@ -131,10 +131,95 @@ def run_actor_learner(args):
     poller.join()
 
 
+def run_multihost(args):
+    """SPMD scale-out of the on-device workload (BASELINE.md >=8-host
+    stance): ``jax.distributed`` joins ``--num-processes`` host processes
+    into one global device mesh; env lanes and the replay ring shard over
+    the cross-host 'dp' axis while parameters replicate — XLA inserts the
+    gradient all-reduce (ICI/DCN collectives), no pipes or parameter
+    servers. Launch the SAME command on every host with a distinct
+    ``--process-id``:
+
+        python train_dqn_batch_ale.py --multihost HOST0:PORT \\
+            --num-processes 4 --process-id $i
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from pfrl_tpu.agents import DQNCore
+    from pfrl_tpu.envs import AtariSim
+    from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.parallel import global_mesh, initialize_multihost, is_primary
+
+    initialize_multihost(
+        args.multihost,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    mesh = global_mesh(("dp",))
+    n_actions = 6
+    core = DQNCore(
+        model=NatureQ(n_actions=n_actions),
+        optimizer=optax.adam(args.lr, eps=1.5e-4),
+        explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.01, 10**6, n_actions),
+        gamma=0.99,
+        batch_accumulator="sum",
+        phi=phi,
+    )
+    cfg = RunnerConfig(
+        num_envs=args.num_envs,
+        replay_start_size=args.replay_start_size,
+        update_interval=args.update_interval,
+        target_update_interval=args.target_update_interval,
+        minibatch_size=args.batch_size,
+    )
+    runner = OffPolicyRunner(
+        AtariSim(n_actions=n_actions),
+        core,
+        replay_buffers.ReplayBuffer(
+            args.replay_capacity,
+            gamma=0.99,
+            num_lanes=args.num_envs,
+            store_next_obs=False,
+            fused_dequant_scale=1.0 / 255.0,
+        ),
+        cfg,
+        mesh=mesh,
+    )
+    import jax.random as jrandom
+
+    state = runner.init(jrandom.PRNGKey(args.seed))
+    chunk = 500
+    done_steps = 0
+    while done_steps < args.steps:
+        t0 = time.time()
+        state, metrics = runner.run_chunk(state, chunk)
+        loss = float(np.asarray(jax.device_get(metrics["loss"]))[-1])
+        done_steps = int(state.t)
+        if is_primary():
+            sps = chunk * args.num_envs / (time.time() - t0)
+            print(
+                f"step {done_steps} | {sps:,.0f} env-steps/s global"
+                f" | loss {loss:.4f}",
+                flush=True,
+            )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
     parser.add_argument("--actor-learner", action="store_true")
+    parser.add_argument(
+        "--multihost",
+        default=None,
+        metavar="HOST:PORT",
+        help="jax.distributed coordinator; shards the on-device workload "
+        "over all joined hosts (see run_multihost)",
+    )
+    parser.add_argument("--num-processes", type=int, default=1)
+    parser.add_argument("--process-id", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--lr", type=float, default=2.5e-4)
@@ -147,7 +232,9 @@ def main():
     parser.add_argument("--eval-interval", type=int, default=10**5)
     parser.add_argument("--outdir", default="results/dqn_batch_ale")
     args = parser.parse_args()
-    if args.actor_learner:
+    if args.multihost:
+        run_multihost(args)
+    elif args.actor_learner:
         run_actor_learner(args)
     else:
         run_batch(args)

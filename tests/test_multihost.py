@@ -1,11 +1,13 @@
-"""Two-process multi-host SPMD test (VERDICT r1 item 9).
+"""Multi-process multi-host SPMD tests (VERDICT r1 #9, r2 #9).
 
-Forks two real CPU processes that join via jax.distributed (Gloo
-collectives), form a 4-device global mesh (2 local devices each), and run
-the FULL jitted off-policy training step with env lanes + replay sharded
-over the cross-process 'dp' axis — the same path dryrun_multichip
-validates single-process. This is the BASELINE.md >=8-host scaling
-stance, exercised at 2 hosts in CI.
+Forks real CPU processes that join via jax.distributed (Gloo
+collectives), form a global mesh, and run the FULL jitted off-policy
+training step with env lanes + replay sharded over the cross-process
+'dp' axis — the same path dryrun_multichip validates single-process.
+Parametrized over 2 processes x 2 local devices and 4 processes x 1
+local device; every process must end with BITWISE-identical replicated
+parameters after N sharded steps (the SPMD contract). This is the
+BASELINE.md >=8-host scaling stance, exercised at up to 4 hosts in CI.
 """
 
 import os
@@ -19,14 +21,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import os, sys
 pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+local_devs = int(sys.argv[3])
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devs}"
 import jax
 from pfrl_tpu.parallel import global_mesh, initialize_multihost, is_primary, local_lane_slice
-initialize_multihost("localhost:%PORT%", num_processes=2, process_id=pid)
-assert jax.process_count() == 2
-assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+initialize_multihost("localhost:%PORT%", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+assert len(jax.devices()) == nproc * local_devs
+assert len(jax.local_devices()) == local_devs
 
+import hashlib
 import numpy as np
 import optax
 from pfrl_tpu.agents import DQNCore
@@ -64,14 +70,24 @@ state, metrics = runner.run_chunk(state, 3)
 jax.block_until_ready(metrics["loss"])
 assert int(state.t) == 3 * num_envs
 assert np.isfinite(np.asarray(jax.device_get(metrics["loss"]))).all()
-assert local_lane_slice(num_envs) == slice(pid * 4, pid * 4 + 4)
+lanes_per = num_envs // nproc
+assert local_lane_slice(num_envs) == slice(pid * lanes_per, (pid + 1) * lanes_per)
 assert is_primary() == (pid == 0)
-print(f"MULTIHOST_OK {pid} t={int(state.t)}", flush=True)
+
+# SPMD contract: the replicated parameters must be BITWISE identical on
+# every process after sharded training steps.
+flat = np.concatenate(
+    [
+        np.asarray(jax.device_get(x)).ravel()
+        for x in jax.tree_util.tree_leaves(state.train_state.params)
+    ]
+)
+digest = hashlib.sha256(flat.tobytes()).hexdigest()
+print(f"MULTIHOST_OK {pid} t={int(state.t)} params={digest}", flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_training_step(tmp_path):
+def _run_workers(tmp_path, nproc, local_devs):
     import socket
 
     with socket.socket() as s:
@@ -84,18 +100,35 @@ def test_two_process_training_step(tmp_path):
     env["PYTHONPATH"] = REPO
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i)],
+            [sys.executable, str(script), str(i), str(nproc), str(local_devs)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
             cwd=str(tmp_path),
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=300)
         outs.append(out.decode())
+    digests = set()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert f"MULTIHOST_OK {i}" in out, out[-2000:]
+        line = next(
+            (ln for ln in out.splitlines() if ln.startswith(f"MULTIHOST_OK {i}")),
+            None,
+        )
+        assert line is not None, out[-2000:]
+        digests.add(line.split("params=")[1])
+    assert len(digests) == 1, f"params diverged across hosts: {digests}"
+
+
+@pytest.mark.slow
+def test_two_process_training_step(tmp_path):
+    _run_workers(tmp_path, nproc=2, local_devs=2)
+
+
+@pytest.mark.slow
+def test_four_process_training_step(tmp_path):
+    _run_workers(tmp_path, nproc=4, local_devs=1)
