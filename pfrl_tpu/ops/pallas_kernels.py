@@ -147,6 +147,55 @@ _CHUNK = _ROWS * 128   # priorities per grid step
 _MAX_PALLAS_BATCH = 128  # (B, ROWS, 128) f32 compare tensor must fit VMEM
 
 
+def _prefix_count_chunk(x, t, carry):
+    """Count prefix entries <= each target within one [ROWS, 128] chunk.
+
+    Two-level counting instead of a naive [B, ROWS, 128] compare (32x less
+    VPU work at B=32): (1) rows whose cumulative total is <= t contribute
+    128 elements via a [B, ROWS] compare; (2) the single crossing row per
+    target is fetched with a one-hot MXU matmul and refined with a [B, 128]
+    compare. All cumsums come from MXU triangular matmuls (Mosaic has no
+    cumsum primitive).
+
+    Returns (count[B, 1] f32, chunk_total scalar f32).
+    """
+    rows = x.shape[0]
+    a = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    upper = (a <= b).astype(jnp.float32)
+    within = jax.lax.dot_general(
+        x, upper, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                        # [ROWS, 128] within-row incl.
+    row_sum = within[:, 127:128]             # [ROWS, 1] (last prefix col)
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    strict_lower = (s < r).astype(jnp.float32)
+    offsets = jax.lax.dot_general(
+        strict_lower, row_sum, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                        # [ROWS, 1] exclusive row prefix
+    rcs = (offsets + row_sum)[:, 0][None, :] + carry   # [1, ROWS] inclusive
+
+    full_rows = jnp.sum(
+        (rcs <= t).astype(jnp.float32), axis=1, keepdims=True
+    )                                        # [B, 1] rows entirely <= t
+    # Crossing row (first with rcs > t), fetched by one-hot matmul.
+    B = t.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, rows), 1)
+    onehot = (row_ids == full_rows.astype(jnp.int32)).astype(jnp.float32)
+    rowvals = jax.lax.dot_general(
+        onehot, within + offsets, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                        # [B, 128] crossing-row prefix
+    partial = jnp.sum(
+        (rowvals + carry <= t).astype(jnp.float32), axis=1, keepdims=True
+    )
+    # No crossing row inside this chunk (t beyond it): refine contributes 0.
+    partial = jnp.where(full_rows < rows, partial, 0.0)
+    chunk_total = offsets[rows - 1, 0] + row_sum[rows - 1, 0]
+    return 128.0 * full_rows + partial, chunk_total
+
+
 def _prefix_sample_kernel(prio_ref, targets_ref, out_ref, carry_ref, acc_ref):
     i = pl.program_id(0)
 
@@ -155,35 +204,11 @@ def _prefix_sample_kernel(prio_ref, targets_ref, out_ref, carry_ref, acc_ref):
         carry_ref[0, 0] = jnp.float32(0.0)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = prio_ref[:]                          # [ROWS, 128], row-major chunk
-    rows = x.shape[0]
-    # Mosaic has no cumsum primitive; build the inclusive prefix with MXU
-    # triangular matmuls: within-row via x @ U (U[a,b] = a<=b), row offsets
-    # via L @ rowsum (L[r,s] = s<r).
-    a = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    upper = (a <= b).astype(jnp.float32)
-    within = jax.lax.dot_general(
-        x, upper, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                        # [ROWS, 128]
-    ones_col = jnp.ones((128, 1), jnp.float32)
-    row_sum = jax.lax.dot_general(
-        x, ones_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                        # [ROWS, 1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    s = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    strict_lower = (s < r).astype(jnp.float32)
-    offsets = jax.lax.dot_general(
-        strict_lower, row_sum, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                        # [ROWS, 1]
-    cs = within + offsets + carry_ref[0, 0]  # inclusive prefix of the scan
-
-    # Count prefix entries <= each target: [B, ROWS, 128] compare in VMEM.
-    t = targets_ref[:]                       # [B, 1]
-    le = (cs[None, :, :] <= t[:, :, None]).astype(jnp.float32)
-    acc_ref[:] = acc_ref[:] + jnp.sum(jnp.sum(le, axis=2), axis=1, keepdims=True)
-    carry_ref[0, 0] = carry_ref[0, 0] + jnp.sum(row_sum)
+    count, chunk_total = _prefix_count_chunk(
+        prio_ref[:], targets_ref[:], carry_ref[0, 0]
+    )
+    acc_ref[:] = acc_ref[:] + count
+    carry_ref[0, 0] = carry_ref[0, 0] + chunk_total
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -245,3 +270,137 @@ def prefix_sample(priorities, targets):
     ):
         return prefix_sample_pallas(priorities, targets)
     return prefix_sample_reference(priorities, targets)
+
+
+# --------------------------------------------------------------------------
+# Fused PER sample + row gather + dequantize (one kernel launch)
+# --------------------------------------------------------------------------
+#
+# The XLA PER hot path is three serialized stages with HBM round trips
+# between them: (1) the log2(C)-level tree descent (each level a dependent
+# [B]-gather), (2) the minibatch row gather from the uint8 ring, (3) the
+# dequantize convert. XLA cannot fuse across the sample/gather boundary —
+# the gather's indices are the descent's output. This kernel runs all three
+# in ONE launch: a streaming prefix-count pass over the flat priorities
+# (VMEM-resident chunks, MXU cumsums), then — with the sampled indices
+# still in VMEM — issues the B row DMAs from the HBM ring and dequantizes
+# on the way out. Nothing but the final [B, R, 128] minibatch ever returns
+# to HBM.
+
+def _fused_sample_gather_kernel(
+    scale,
+    capacity,
+    prio_ref,
+    targets_ref,
+    storage_ref,
+    idx_out_ref,
+    out_ref,
+    carry_ref,
+    acc_ref,
+    stage_ref,
+    sems,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0, 0] = jnp.float32(0.0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    count, chunk_total = _prefix_count_chunk(
+        prio_ref[:], targets_ref[:], carry_ref[0, 0]
+    )
+    acc_ref[:] = acc_ref[:] + count
+    carry_ref[0, 0] = carry_ref[0, 0] + chunk_total
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        B = acc_ref.shape[0]
+        idx = jnp.clip(acc_ref[:].astype(jnp.int32), 0, capacity - 1)
+        idx_out_ref[:] = idx
+
+        def issue(b, _):
+            row = idx_out_ref[b, 0]
+            pltpu.make_async_copy(
+                storage_ref.at[row], stage_ref.at[b], sems.at[b]
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, B, issue, 0)
+
+        def drain(b, _):
+            row = idx_out_ref[b, 0]
+            pltpu.make_async_copy(
+                storage_ref.at[row], stage_ref.at[b], sems.at[b]
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, B, drain, 0)
+        staged = stage_ref[:]
+        if staged.dtype == jnp.uint8:
+            staged = staged.astype(jnp.int32)
+        out_ref[:] = staged.astype(out_ref.dtype) * scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "out_dtype", "interpret")
+)
+def per_sample_gather_dequantize_pallas(
+    priorities: jax.Array,
+    targets: jax.Array,
+    storage: jax.Array,
+    *,
+    scale: float = 1.0 / 255.0,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Fused PER minibatch draw: ``idx[b] = #{i: cumsum(p)[i] <= t[b]}``
+    (identical to the tree descent) and ``out[b] = storage[idx[b]] * scale``
+    in one kernel launch.
+
+    Args:
+        priorities: ``[C]`` f32 leaf priorities, C a multiple of 8192
+            (zero-pad; trailing zeros cannot change counts for in-range
+            targets, and indices clamp to C-1).
+        targets: ``[B]`` f32 in ``[0, sum(priorities))``.
+        storage: ``[C, R, 128]`` ring (uint8 or float; same row layout as
+            :func:`gather_rows_dequantize_pallas`).
+    Returns ``(idx [B] int32, out [B, R, 128] out_dtype)``.
+    """
+    (c,) = priorities.shape
+    assert c % _CHUNK == 0, f"pad priorities to a multiple of {_CHUNK}"
+    assert storage.ndim == 3 and storage.shape[2] == 128, storage.shape
+    assert storage.shape[0] == c, (storage.shape, c)
+    batch = targets.shape[0]
+    assert batch <= _MAX_PALLAS_BATCH
+    rows = storage.shape[1]
+    num_chunks = c // _CHUNK
+    idx, out = pl.pallas_call(
+        functools.partial(_fused_sample_gather_kernel, scale, c),
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda i: (i, 0)),
+            pl.BlockSpec((batch, 1), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ring stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((batch, 1), lambda i: (0, 0)),
+            pl.BlockSpec((batch, rows, 128), lambda i: (0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((batch, 1), jnp.float32),
+            pltpu.VMEM((batch, rows, 128), storage.dtype),
+            pltpu.SemaphoreType.DMA((batch,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+            jax.ShapeDtypeStruct((batch, rows, 128), out_dtype),
+        ],
+        interpret=interpret,
+    )(
+        priorities.reshape(c // 128, 128),
+        targets[:, None].astype(jnp.float32),
+        storage,
+    )
+    return idx[:, 0], out

@@ -126,14 +126,11 @@ def test_atari_frame_stack_shapes():
     """wrap_deepmind output shape parity: (84,84,4) hwc / (4,84,84) chw
     (LazyFrames must concatenate along the singleton channel axis,
     reference atari_wrappers.py:251-272)."""
-    import sys
-
     import numpy as np
 
-    sys.path.insert(0, "/root/repo/tools")
-    from bench_pipeline import make_env as make_hwc_env
+    from pfrl_tpu.envs.synthetic_ale import make_warped_stacked
 
-    env = make_hwc_env(0)
+    env = make_warped_stacked(0)
     obs = np.asarray(env.reset())
     assert obs.shape == (84, 84, 4) and obs.dtype == np.uint8
     o2, _, _, _ = env.step(0)

@@ -138,3 +138,47 @@ def test_per_sample_pallas_equals_descent(rng):
         np.testing.assert_allclose(
             np.asarray(batch_pl.weight), np.asarray(batch_xla.weight), rtol=1e-6
         )
+
+
+def test_fused_per_sample_gather_dequant_matches_composite(rng):
+    """The single-launch fused kernel must equal the three-stage XLA
+    composite: prefix count -> row gather -> dequantize."""
+    C = pk._CHUNK  # 8192 leaves, one chunk
+    prio = jax.random.randint(rng, (C,), 0, 4).astype(jnp.float32)
+    total = float(jnp.sum(prio))
+    targets = jax.random.uniform(
+        jax.random.fold_in(rng, 7), (16,), minval=0.0, maxval=total
+    )
+    storage = jax.random.randint(
+        jax.random.fold_in(rng, 8), (C, 2, 128), 0, 255
+    ).astype(jnp.uint8)
+    idx, out = pk.per_sample_gather_dequantize_pallas(
+        prio, targets, storage, scale=1 / 255.0, interpret=True
+    )
+    ref_idx = pk.prefix_sample_reference(prio, targets)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    ref_out = storage[ref_idx].astype(jnp.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out))
+
+
+def test_fused_per_sample_multi_chunk_and_edge_targets(rng):
+    C = 2 * pk._CHUNK
+    prio = jax.random.randint(rng, (C,), 0, 3).astype(jnp.float32)
+    total = float(jnp.sum(prio))
+    # Edge: target just inside 0 and just below the total, plus midpoints.
+    targets = jnp.asarray(
+        [0.0, 0.5, total / 2, total - 0.5], jnp.float32
+    )
+    storage = jax.random.randint(
+        jax.random.fold_in(rng, 9), (C, 1, 128), 0, 255
+    ).astype(jnp.uint8)
+    idx, out = pk.per_sample_gather_dequantize_pallas(
+        prio, targets, storage, scale=1.0, interpret=True
+    )
+    ref_idx = np.clip(
+        np.asarray(pk.prefix_sample_reference(prio, targets)), 0, C - 1
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(storage)[ref_idx].astype(np.float32)
+    )
