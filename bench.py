@@ -401,7 +401,12 @@ def bench_td3():
 
 
 def bench_pallas_ab():
-    """Replay-kernel A/B at the Atari config, µs per op (lower = better)."""
+    """Replay-kernel A/B at the Atari config, µs per op (lower = better).
+
+    Methodology: the tunneled TPU's per-dispatch latency drifts between
+    ~30 µs and ~1 ms windows, so alternatives are INTERLEAVED round-robin
+    and each reports its min-of-rounds — same-window comparisons only.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -409,53 +414,73 @@ def bench_pallas_ab():
     from pfrl_tpu.ops import pallas_kernels as pk
     from pfrl_tpu.replay import sum_tree
 
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    if jax.default_backend() != "tpu":
         return
 
-    def timeit(fn, *args, reps=50):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / reps * 1e6
-
-    # Fused gather+dequant: 100k-row uint8 ring, 221x128 rows, batch 32.
-    cap, rows, batch = 100_000, 221, 32
+    batch = 32
+    # Gather: 100k-row uint8 ring at the real item shape (221x128 = padded
+    # 84*84*4 frame stack).
+    cap, rows = 100_000, 221
     storage = jnp.ones((cap, rows, 128), jnp.uint8)
-    ids = jnp.arange(batch, dtype=jnp.int32) * 771
-    gather_pl = timeit(
-        lambda s, i: pk.gather_rows_dequantize_pallas(
-            s, i, scale=1 / 255.0, out_dtype=jnp.float32
-        ),
-        storage,
-        ids,
-    )
     flat = storage.reshape(cap, rows * 128)
-    gather_xla = timeit(
-        jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0)), flat, ids
-    )
-
-    # PER sampling: 131072-leaf tree, batch 32.
+    ids = jnp.arange(batch, dtype=jnp.int32) * 771
+    # PER: 131072-leaf tree; fused kernel uses an 8-aligned 224-row ring.
     cap_t = 131_072
     prio = jax.random.uniform(jax.random.PRNGKey(0), (cap_t,)) + 0.01
-    tree = sum_tree.update(
-        sum_tree.init_tree(cap_t), jnp.arange(cap_t), prio
-    )
+    tree = sum_tree.update(sum_tree.init_tree(cap_t), jnp.arange(cap_t), prio)
+    leaves = tree[cap_t:]
     targets = jax.random.uniform(
         jax.random.PRNGKey(1), (batch,), maxval=float(sum_tree.total(tree)) * 0.999
     )
-    sample_pl = timeit(
-        lambda p, t: pk.prefix_sample_pallas(p, t), tree[cap_t:], targets
-    )
-    sample_xla = timeit(
-        jax.jit(sum_tree.sample_from_prefix), tree, targets
-    )
+    storage_t = jnp.ones((cap_t, 224, 128), jnp.uint8)
+    flat_t = storage_t.reshape(cap_t, 224 * 128)
+
+    def composite(tree, targets, flat):
+        ids = sum_tree.sample_from_prefix(tree, targets)
+        return ids, flat[ids].astype(jnp.float32) * (1 / 255.0)
+
+    jit_descent = jax.jit(sum_tree.sample_from_prefix)
+    jit_comp = jax.jit(composite)
+    jit_xgather = jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0))
+
+    fns = {
+        "gather_pallas": lambda: pk.gather_rows_dequantize_pallas(
+            storage, ids, scale=1 / 255.0, out_dtype=jnp.float32
+        ),
+        "gather_xla": lambda: jit_xgather(flat, ids),
+        "prefix_pallas": lambda: pk.prefix_sample_pallas(leaves, targets),
+        "prefix_descent": lambda: jit_descent(tree, targets),
+        "fused_pallas": lambda: pk.per_sample_gather_dequantize_pallas(
+            leaves, targets, storage_t, scale=1 / 255.0
+        ),
+        "fused_xla_composite": lambda: jit_comp(tree, targets, flat_t),
+    }
+    for f in fns.values():
+        jax.block_until_ready(f())  # compile outside timing
+
+    res = {k: [] for k in fns}
+    for _ in range(3):
+        for k, fn in fns.items():
+            out = fn()
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(20):
+                out = fn()
+            jax.block_until_ready(out)
+            res[k].append((time.time() - t0) / 20 * 1e6)
+    best = {k: round(min(v), 1) for k, v in res.items()}
     _RESULTS["pallas_ab"] = {
-        "gather_dequant_us": {"pallas": round(gather_pl, 1), "xla": round(gather_xla, 1)},
-        "per_prefix_sample_us": {"pallas": round(sample_pl, 1), "xla_descent": round(sample_xla, 1)},
+        "gather_dequant_us": {
+            "pallas": best["gather_pallas"], "xla": best["gather_xla"]
+        },
+        "per_prefix_sample_us": {
+            "pallas": best["prefix_pallas"],
+            "xla_descent": best["prefix_descent"],
+        },
+        "fused_sample_gather_dequant_us": {
+            "pallas": best["fused_pallas"],
+            "xla_composite": best["fused_xla_composite"],
+        },
     }
 
 

@@ -25,16 +25,22 @@ TPU runs. Reference behavior being replaced: the torch ``.sample`` +
 pfrl/agents/dqn.py:475-488) and the pointer sum-tree descent
 (pfrl/collections/prioritized.py:126-232).
 
-Measured verdict (TPU, Atari reference config; see bench.py pallas_ab):
-XLA wins at these shapes — gather+dequant 31 µs (XLA) vs 41 µs (pallas) at
-batch 32 x 28 KB rows, PER prefix sample 606 µs (descent) vs 756 µs
-(streaming kernel) at 131072 leaves; and inside the fused training scan the
-pallas custom-call additionally defeats XLA's aliasing of the multi-GB
-replay ring (67x end-to-end regression). The replay buffers therefore
-default to the XLA paths (``use_pallas="auto"``) and take these kernels
-only on explicit ``use_pallas=True``; the kernels remain the building
-block for shapes where one-pass fusion pays (bigger batches, wider
-sampling fan-out).
+A third kernel fuses the whole PER hot path — prefix sample + row gather
++ dequantize — into one launch (:func:`per_sample_gather_dequantize_pallas`);
+see its section comment for why XLA cannot fuse across that boundary.
+
+Measured verdict (TPU v5e via tunnel; bench.py pallas_ab interleaves the
+alternatives and takes min-of-rounds because the tunnel's per-dispatch
+latency drifts between ~30 µs and ~1 ms windows): standalone gather and
+prefix-sample are dispatch-floor-bound on both paths (~30-45 µs — a wash);
+the win case is the FUSED kernel vs the XLA composite, where the
+composite pays the 17-level dependent tree descent (~600 µs serialized
+round trips) that the streaming kernel replaces with one linear pass.
+Inside the fused training scan the pallas custom-call defeats XLA's
+aliasing of the multi-GB replay ring (measured 67x end-to-end regression
+in r1), so the replay buffers keep defaulting to the XLA paths
+(``use_pallas="auto"``) and take these kernels only on explicit
+``use_pallas=True``.
 """
 
 import functools
@@ -140,11 +146,12 @@ def gather_rows_dequantize(storage, ids, *, scale=1.0 / 255.0, out_dtype=jnp.flo
 # fuses the cumsum and the per-target counting into one pass, carrying the
 # running total in scratch across a sequential chunk grid.
 
-_ROWS = 64     # sublane rows per chunk (8k priorities per grid step; larger
-               # chunks lose: the [B, ROWS, 128] compare materialization
-               # grows linearly while grid overhead shrinks only sublinearly)
+_ROWS = 512     # sublane rows per chunk (64k priorities per grid step; the
+                # two-level counting keeps per-chunk VPU work tiny, so the
+                # chunk is sized by the [ROWS, ROWS] triangular-matmul mask
+                # staying a comfortable 1 MB in VMEM)
 _CHUNK = _ROWS * 128   # priorities per grid step
-_MAX_PALLAS_BATCH = 128  # (B, ROWS, 128) f32 compare tensor must fit VMEM
+_MAX_PALLAS_BATCH = 128  # [B, ROWS] compare + one-hot tensors must fit VMEM
 
 
 def _prefix_count_chunk(x, t, carry):
@@ -371,6 +378,11 @@ def per_sample_gather_dequantize_pallas(
     assert c % _CHUNK == 0, f"pad priorities to a multiple of {_CHUNK}"
     assert storage.ndim == 3 and storage.shape[2] == 128, storage.shape
     assert storage.shape[0] == c, (storage.shape, c)
+    # Mosaic DMA slices must be sublane-aligned: pad the item row count to
+    # a multiple of 8 (i.e. flat item width to a multiple of 1024).
+    assert storage.shape[1] % 8 == 0, (
+        f"storage rows {storage.shape[1]} must be a multiple of 8"
+    )
     batch = targets.shape[0]
     assert batch <= _MAX_PALLAS_BATCH
     rows = storage.shape[1]

@@ -188,3 +188,18 @@ def test_mujoco_reproduction_argparse(script):
     script's CLI must construct (--help exits 0 and prints its options)."""
     out = run_example(script, ["--help"], timeout=120)
     assert "--seed" in out
+
+
+@pytest.mark.slow
+def test_dqn_pipeline_sim_example():
+    """Device-resident actor-learner pipeline end-to-end (--sim): spawned
+    shm actor processes, on-device stacking/staging, burst learner."""
+    out = run_example(
+        "examples/atari/train_dqn_pipeline_ale.py",
+        ["--sim", "--steps", "600", "--workers", "2", "--lanes", "2",
+         "--replay-capacity", "4096", "--replay-start-size", "64",
+         "--burst", "4", "--target-update-interval", "256",
+         "--log-interval", "2"],
+        timeout=900,
+    )
+    assert "env-steps/s" in out
