@@ -86,46 +86,55 @@ class MultiprocessVectorEnv(VectorEnv):
     def num_envs(self) -> int:
         return len(self.remotes)
 
+    # -------------------------------------------------------- pipe round trip
+    def _roundtrip(self, cmd, payloads=None, lanes=None):
+        """Broadcast ``(cmd, payload)`` to the selected lanes, then collect
+        one reply per lane (same wire protocol as the reference's worker,
+        multiprocess_vector_env.py:11-36)."""
+        assert not self.closed, "This env is already closed"
+        picked = range(self.num_envs) if lanes is None else lanes
+        for i in picked:
+            self.remotes[i].send(
+                (cmd, None if payloads is None else payloads[i])
+            )
+        return {i: self.remotes[i].recv() for i in picked}
+
     def step(self, actions):
-        self._assert_not_closed()
-        for remote, action in zip(self.remotes, actions):
-            remote.send(("step", action))
-        results = [remote.recv() for remote in self.remotes]
-        obss, rews, dones, infos = zip(*results)
+        replies = self._roundtrip("step", list(actions))
+        obss, rews, dones, infos = zip(
+            *[replies[i] for i in range(self.num_envs)]
+        )
         self.last_obs = list(obss)
-        return obss, np.asarray(rews, dtype=np.float32), np.asarray(dones, dtype=bool), infos
+        return (
+            obss,
+            np.asarray(rews, dtype=np.float32),
+            np.asarray(dones, dtype=bool),
+            infos,
+        )
 
     def reset(self, mask=None):
-        self._assert_not_closed()
+        # mask semantics: True = lane still running, keep its last obs
+        # (reference masked reset, multiprocess_vector_env.py:89-102).
         if mask is None:
             mask = np.zeros(self.num_envs, dtype=bool)
-        for m, remote in zip(mask, self.remotes):
-            if not m:
-                remote.send(("reset", None))
-        obss = [
-            last if m else remote.recv()
-            for m, remote, last in zip(mask, self.remotes, self.last_obs)
+        fresh = self._roundtrip(
+            "reset", lanes=[i for i in range(self.num_envs) if not mask[i]]
+        )
+        self.last_obs = [
+            fresh.get(i, self.last_obs[i]) for i in range(self.num_envs)
         ]
-        self.last_obs = obss
-        return obss
+        return list(self.last_obs)
 
     def seed(self, seeds=None):
-        self._assert_not_closed()
-        if seeds is None:
-            seeds = [None] * self.num_envs
-        elif np.isscalar(seeds):
+        if np.isscalar(seeds):
             seeds = [seeds] * self.num_envs
-        for remote, s in zip(self.remotes, seeds):
-            remote.send(("seed", s))
-        return [remote.recv() for remote in self.remotes]
+        replies = self._roundtrip("seed", seeds or [None] * self.num_envs)
+        return [replies[i] for i in range(self.num_envs)]
 
     def close(self):
-        self._assert_not_closed()
+        assert not self.closed, "This env is already closed"
         self.closed = True
         for remote in self.remotes:
             remote.send(("close", None))
         for p in self.ps:
             p.join()
-
-    def _assert_not_closed(self):
-        assert not self.closed, "This env is already closed"

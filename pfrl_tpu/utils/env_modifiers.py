@@ -1,23 +1,90 @@
-"""In-place env patching helpers (reference parity: pfrl/utils/env_modifiers.py).
+"""In-place env patching helpers (reference API: pfrl/utils/env_modifiers.py).
 
-The reference mutates ``env.step``/``env.reset`` in place; these helpers keep
-that convenience API for quick host-side experiments. For anything serious
-prefer the wrapper classes in pfrl_tpu/wrappers (composable, picklable) or,
-for pure-JAX envs, the functional wrappers in pfrl_tpu/envs/wrappers.py.
+The reference mutates ``env.step``/``env.reset`` in place; these helpers
+keep that convenience API for quick host-side experiments, expressed as
+step-transforms over one shared patching helper. For anything serious
+prefer the wrapper classes in pfrl_tpu/wrappers (composable, picklable)
+or, for pure-JAX envs, the functional wrappers in pfrl_tpu/envs/wrappers.py.
 """
 
 import numpy as np
 
 
-def make_rendered(env, *render_args, **render_kwargs):
-    """Render after every step (reference: env_modifiers.py:4-18)."""
-    base_step = env.step
-    base_close = env.close
+def _patch_step(env, transform):
+    """Replace ``env.step`` with ``lambda a: transform(base_step, a)``."""
+    base = env.step
+    env.step = lambda action: transform(base, action)
 
-    def step(action):
-        ret = base_step(action)
+
+def make_action_filtered(env, action_filter):
+    """Pass every action through ``action_filter`` before stepping."""
+    _patch_step(env, lambda base, a: base(action_filter(a)))
+
+
+def make_reward_filtered(env, reward_filter):
+    """Pass every reward through ``reward_filter``
+    (see pfrl_tpu.utils.reward_filter)."""
+
+    def transform(base, a):
+        obs, reward, done, info = base(a)
+        return obs, reward_filter(reward), done, info
+
+    _patch_step(env, transform)
+
+
+def make_reward_clipped(env, low, high):
+    """Clip rewards to ``[low, high]``."""
+    make_reward_filtered(env, lambda r: float(np.clip(r, low, high)))
+
+
+def make_action_repeated(env, n_times):
+    """Repeat each received action up to ``n_times`` (stop early on done),
+    accumulating rewards and returning the latest observation."""
+
+    def transform(base, a):
+        total = 0.0
+        for _ in range(n_times):
+            obs, reward, done, info = base(a)
+            total += reward
+            if done:
+                break
+        return obs, total, done, info
+
+    _patch_step(env, transform)
+
+
+def make_timestep_limited(env, timestep_limit):
+    """Force ``done=True`` once ``timestep_limit`` steps have elapsed;
+    the counter rewinds on reset."""
+    box = {"t": 1}
+
+    def transform(base, a):
+        obs, reward, done, info = base(a)
+        if box["t"] >= timestep_limit:
+            done = True
+        box["t"] += 1
+        return obs, reward, done, info
+
+    _patch_step(env, transform)
+    base_reset = env.reset
+
+    def reset(*args, **kwargs):
+        box["t"] = 1
+        return base_reset(*args, **kwargs)
+
+    env.reset = reset
+
+
+def make_rendered(env, *render_args, **render_kwargs):
+    """Render after every step and once more (with close=True) at close."""
+
+    def transform(base, a):
+        out = base(a)
         env.render(*render_args, **render_kwargs)
-        return ret
+        return out
+
+    _patch_step(env, transform)
+    base_close = env.close
 
     def close():
         try:
@@ -26,58 +93,4 @@ def make_rendered(env, *render_args, **render_kwargs):
             pass  # newer gym renderers take no close kwarg
         base_close()
 
-    env.step = step
     env.close = close
-
-
-def make_timestep_limited(env, timestep_limit):
-    """Force done=True after ``timestep_limit`` steps (reference: :21-41)."""
-    t = [1]
-    base_step = env.step
-    base_reset = env.reset
-
-    def step(action):
-        observation, reward, done, info = base_step(action)
-        if t[0] >= timestep_limit:
-            done = True
-        t[0] += 1
-        return observation, reward, done, info
-
-    def reset(*args, **kwargs):
-        t[0] = 1
-        return base_reset(*args, **kwargs)
-
-    env.step = step
-    env.reset = reset
-
-
-def make_action_filtered(env, action_filter):
-    """Apply ``action_filter`` to every action before stepping."""
-    base_step = env.step
-
-    def step(action):
-        return base_step(action_filter(action))
-
-    env.step = step
-
-
-def make_reward_filtered(env, reward_filter):
-    """Apply ``reward_filter`` (see pfrl_tpu.utils.reward_filter) to rewards."""
-    base_step = env.step
-
-    def step(action):
-        observation, reward, done, info = base_step(action)
-        return observation, reward_filter(reward), done, info
-
-    env.step = step
-
-
-def make_reward_clipped(env, low, high):
-    """Clip rewards to [low, high]."""
-    base_step = env.step
-
-    def step(action):
-        observation, reward, done, info = base_step(action)
-        return observation, float(np.clip(reward, low, high)), done, info
-
-    env.step = step

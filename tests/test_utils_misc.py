@@ -9,6 +9,7 @@ from pfrl_tpu.utils import (
     set_temporarily,
 )
 from pfrl_tpu.utils.env_modifiers import (
+    make_action_repeated,
     make_reward_clipped,
     make_reward_filtered,
     make_timestep_limited,
@@ -84,6 +85,15 @@ def test_make_reward_filtered_and_clipped():
     env2 = _FakeEnv()
     make_reward_clipped(env2, -1.0, 1.0)
     assert env2.step(0)[1] == 1.0
+
+
+def test_make_action_repeated():
+    """Rewards accumulate across the repeats; latest obs is returned
+    (reference env_modifiers.py make_action_repeated)."""
+    env = _FakeEnv()
+    make_action_repeated(env, 4)
+    obs, reward, done, _ = env.step(0)
+    assert obs == 4 and reward == 40.0 and not done
 
 
 class TestMonitorVideo:
