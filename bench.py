@@ -182,9 +182,13 @@ def bench_dqn():
         + 3136 * 512
         + 512 * n_actions
     )
-    # Per scan step: act fwd over 64 lanes + one batch-32 update
-    # (online fwd + target fwd + backward ~ 2x fwd -> 4x fwd at batch 32).
-    flops_per_scan_step = num_envs * fwd_flops + 4 * 32 * fwd_flops
+    # Per scan step: act fwd over all lanes + L/update_interval = 16
+    # batch-32 updates, each online fwd + target fwd + backward ~ 2x fwd
+    # (4x fwd-equivalents per sample) — i.e. fwd x (1 + batch) per env
+    # transition, matching tools/bench_scaling.py's accounting.
+    flops_per_scan_step = (
+        num_envs * fwd_flops + (num_envs // 4) * 4 * 32 * fwd_flops
+    )
     achieved = flops_per_scan_step * (sps / num_envs)
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
     mfu_fields = {"achieved_tflops": round(achieved / 1e12, 3)}

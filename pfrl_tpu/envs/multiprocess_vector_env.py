@@ -126,9 +126,13 @@ class MultiprocessVectorEnv(VectorEnv):
         return list(self.last_obs)
 
     def seed(self, seeds=None):
-        if np.isscalar(seeds):
+        if seeds is None:
+            seeds = [None] * self.num_envs
+        elif np.isscalar(seeds):
             seeds = [seeds] * self.num_envs
-        replies = self._roundtrip("seed", seeds or [None] * self.num_envs)
+        else:
+            seeds = list(seeds)  # accepts any per-env sequence incl. ndarray
+        replies = self._roundtrip("seed", seeds)
         return [replies[i] for i in range(self.num_envs)]
 
     def close(self):

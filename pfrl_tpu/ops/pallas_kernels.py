@@ -146,10 +146,10 @@ def gather_rows_dequantize(storage, ids, *, scale=1.0 / 255.0, out_dtype=jnp.flo
 # fuses the cumsum and the per-target counting into one pass, carrying the
 # running total in scratch across a sequential chunk grid.
 
-_ROWS = 512     # sublane rows per chunk (64k priorities per grid step; the
-                # two-level counting keeps per-chunk VPU work tiny, so the
-                # chunk is sized by the [ROWS, ROWS] triangular-matmul mask
-                # staying a comfortable 1 MB in VMEM)
+_ROWS = 64      # sublane rows per chunk (8192 priorities per grid step) —
+                # sized so PrioritizedReplayBuffer's smallest power-of-two
+                # tree capacity (8192) is still one whole chunk; two-level
+                # counting keeps per-chunk VPU work tiny at any ROWS
 _CHUNK = _ROWS * 128   # priorities per grid step
 _MAX_PALLAS_BATCH = 128  # [B, ROWS] compare + one-hot tensors must fit VMEM
 

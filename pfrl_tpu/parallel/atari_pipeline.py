@@ -97,7 +97,6 @@ class _WorkerChannel:
         self.conn, self.child_conn = ctx.Pipe(duplex=True)
         self.send_lock = threading.Lock()
         self.step = 0            # vector steps acted so far (server side)
-        self.pending_free = 0
 
     def send(self, msg):
         with self.send_lock:
@@ -156,7 +155,8 @@ def _env_worker(child_conn, shm_name, K, R, hw, env_factory, seed0):
             pass
         v = _shm_views(shm.buf, K, R, hw)
         envs = []
-        envs = [env_factory(seed0 + j) for j in range(K)]
+        for j in range(K):
+            envs.append(env_factory(seed0 + j))
         obs = [e.reset() for e in envs]
         free = R
         slot = 0
@@ -363,13 +363,22 @@ class AtariActorLearnerPipeline:
             # next_obs: one step forward; boundary at ids itself resets.
             m_next = jnp.where(ring.done[ids % cap], 0, jnp.minimum(m + 1, k - 1))
             next_obs = stack_at(ids + L, m_next)
+            # NOTE deviation: truncation (done & ~terminated) is treated
+            # as terminal here. The worker resets immediately after a
+            # truncated episode, so the successor plane in the ring is the
+            # NEXT episode's reset frame — bootstrapping through it would
+            # target an unrelated state's value. Killing the bootstrap is
+            # the classic Atari-DQN behavior (the reference's ALE path has
+            # no ContinuingTimeLimit either); envs where truncation
+            # bootstrap fidelity matters belong on the host drivers or
+            # pure-JAX runner, which store true next observations.
             return TransitionBatch(
                 obs=obs,
                 action=ring.action[ids % cap],
                 reward=ring.reward[ids % cap],
                 next_obs=next_obs,
                 discount=jnp.full((mb,), gamma, jnp.float32),
-                is_terminal=ring.terminated[ids % cap],
+                is_terminal=ring.done[ids % cap],
                 weight=jnp.ones((mb,), jnp.float32),
                 indices=ids,
                 extras=FrozenDict(),

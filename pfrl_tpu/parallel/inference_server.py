@@ -114,10 +114,12 @@ class BatchedInferenceServer:
             # closes (a mismatched training flag starts the next batch).
             import time as _time
 
-            # Window clamped to 50 ms: even a poisoned/volatile forward
-            # estimate can never stall a partial batch indefinitely.
+            # The EMA-scaled window is clamped (50 ms, or the configured
+            # timeout if larger): a poisoned/volatile forward estimate can
+            # never stall a partial batch indefinitely.
             deadline = _time.monotonic() + min(
-                0.05, max(self.timeout, 0.5 * self._fwd_ema)
+                max(0.05, self.timeout),
+                max(self.timeout, 0.5 * self._fwd_ema),
             )
             while rows < self.n_slots:
                 remaining = deadline - _time.monotonic()

@@ -150,7 +150,7 @@ def test_fused_per_sample_gather_dequant_matches_composite(rng):
         jax.random.fold_in(rng, 7), (16,), minval=0.0, maxval=total
     )
     storage = jax.random.randint(
-        jax.random.fold_in(rng, 8), (C, 2, 128), 0, 255
+        jax.random.fold_in(rng, 8), (C, 8, 128), 0, 255
     ).astype(jnp.uint8)
     idx, out = pk.per_sample_gather_dequantize_pallas(
         prio, targets, storage, scale=1 / 255.0, interpret=True
@@ -170,7 +170,7 @@ def test_fused_per_sample_multi_chunk_and_edge_targets(rng):
         [0.0, 0.5, total / 2, total - 0.5], jnp.float32
     )
     storage = jax.random.randint(
-        jax.random.fold_in(rng, 9), (C, 1, 128), 0, 255
+        jax.random.fold_in(rng, 9), (C, 8, 128), 0, 255
     ).astype(jnp.uint8)
     idx, out = pk.per_sample_gather_dequantize_pallas(
         prio, targets, storage, scale=1.0, interpret=True
