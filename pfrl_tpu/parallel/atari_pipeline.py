@@ -289,6 +289,7 @@ class AtariActorLearnerPipeline:
         self._workers = []
         self._channels = []
         self.train_state = None
+        self._jit_eval_act = None
 
     # ------------------------------------------------------------ device fns
     def _build_jits(self):
@@ -625,3 +626,45 @@ class AtariActorLearnerPipeline:
             ("average_loss", self._loss),
             ("n_updates", self.optim_t),
         ]
+
+    # ------------------------------------------------------------ evaluation
+    def greedy_actions(self, obs_stacks) -> np.ndarray:
+        """Greedy actions for ``[B, H, W, k]`` uint8 frame stacks from the
+        CURRENT train state — the eval-mode act path (host eval envs run
+        their own FrameStack; the reference evaluates actors the same way,
+        evaluator.py:66-97)."""
+        if self._jit_eval_act is None:
+            self._jit_eval_act = jax.jit(
+                lambda ts, obs: self.core.select_action(
+                    ts, jax.random.PRNGKey(0), obs,
+                    jnp.zeros((), jnp.int32), False,
+                )
+            )
+        with self._state_lock:
+            ts = self.train_state
+        return np.asarray(self._jit_eval_act(ts, jnp.asarray(obs_stacks)))
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, dirname: str) -> None:
+        """Persist the train state (msgpack, zoo-compatible layout)."""
+        import os
+
+        from pfrl_tpu.replay.persistent import save_state
+
+        os.makedirs(dirname, exist_ok=True)
+        with self._state_lock:
+            ts = jax.device_get(self.train_state)
+        save_state(ts, os.path.join(dirname, "train_state.msgpack"))
+
+    def load(self, dirname: str) -> None:
+        import os
+
+        from pfrl_tpu.replay.persistent import load_state
+
+        with self._state_lock:
+            self.train_state = jax.device_put(
+                load_state(
+                    self.train_state,
+                    os.path.join(dirname, "train_state.msgpack"),
+                )
+            )

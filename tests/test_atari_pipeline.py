@@ -224,3 +224,23 @@ def test_pipeline_worker_crash_sets_exception_event():
 
 def _exploding_env(seed=0):
     raise RuntimeError("boom")
+
+
+def test_pipeline_eval_and_checkpoint_roundtrip(tmp_path):
+    """greedy_actions + save/load: restored params act identically."""
+    p = _make_pipeline(n_workers=1, lanes_per_worker=2, capacity=256)
+    p._build_jits()
+    p._init_device_state(jax.random.PRNGKey(0))
+    obs = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(5), (3, 84, 84, 4), 0, 255),
+        np.uint8,
+    )
+    a1 = p.greedy_actions(obs)
+    assert a1.shape == (3,)
+    p.save(str(tmp_path / "ckpt"))
+    # Perturb, then restore; actions must match the saved policy again.
+    p.train_state = jax.tree.map(
+        lambda x: x + 1 if x.dtype.kind == "f" else x, p.train_state
+    )
+    p.load(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(p.greedy_actions(obs), a1)
