@@ -244,3 +244,34 @@ def test_pipeline_eval_and_checkpoint_roundtrip(tmp_path):
     )
     p.load(str(tmp_path / "ckpt"))
     np.testing.assert_array_equal(p.greedy_actions(obs), a1)
+
+
+def test_sample_window_respects_wraparound_and_staging_margin():
+    """After the ring wraps, sampled ids must stay inside
+    [cursor - cap + (R+k+1)L, cursor - L): old rows that in-flight act
+    calls may be overwriting are excluded, and the successor row needed
+    for next_obs is always committed."""
+    p = _make_pipeline(n_workers=1, lanes_per_worker=2, capacity=64)
+    p._build_jits()
+    p._init_device_state(jax.random.PRNGKey(0))
+    L, cap, k, R = p.L, p.capacity, p.stack_k, p.R
+    cursor = cap * 3 + 10 * L  # well past several wraps
+    ring = p.ring.replace(commit_cursor=jnp.asarray(cursor, jnp.int32))
+    lo = cursor - cap + (R + k + 1) * L
+    hi = cursor - L
+    for s in range(8):
+        ids = np.asarray(p._jit_sample(ring, jax.random.PRNGKey(s)).indices)
+        assert (ids >= lo).all() and (ids < hi).all(), (ids.min(), ids.max())
+
+
+def test_sample_window_respects_stack_history_at_start():
+    """Before any wrap, ids never reach back past the (k-1) predecessor
+    rows a stack reconstruction needs."""
+    p = _make_pipeline(n_workers=1, lanes_per_worker=2, capacity=256)
+    p._build_jits()
+    p._init_device_state(jax.random.PRNGKey(0))
+    L, k = p.L, p.stack_k
+    cursor = 30 * L
+    ring = p.ring.replace(commit_cursor=jnp.asarray(cursor, jnp.int32))
+    ids = np.asarray(p._jit_sample(ring, jax.random.PRNGKey(0)).indices)
+    assert (ids >= (k - 1) * L).all() and (ids < cursor - L).all()
