@@ -63,10 +63,12 @@ def test_checkpoint_stride_covers_vector_steps(tmp_path):
     run = make_run(tmp_path, checkpoint_freq=10)
     saves = []
     run.agent.save.side_effect = lambda d: saves.append(os.path.basename(d))
-    for t in (8, 16, 24, 32):  # stride 8: 16 and 32 straddle 10, 20/30 not
+    for t in (8, 16, 24, 32):
         run.t = t
         run.checkpoint_if_due(stride=8)
-    assert saves == ["16_checkpoint", "32_checkpoint"]
+    # A save fires whenever a multiple of 10 falls in (t-8, t]: 10 in
+    # (8,16], 20 in (16,24], 30 in (24,32]; nothing in (0,8].
+    assert saves == ["16_checkpoint", "24_checkpoint", "32_checkpoint"]
 
 
 def test_crash_save_on_error_saves_and_reraises(tmp_path):
