@@ -39,11 +39,12 @@ _BASIC_COLUMNS = (
 
 
 class ScoreWriter:
-    def __init__(self, outdir):
+    def __init__(self, outdir, resume=False):
         os.makedirs(outdir, exist_ok=True)
         self.path = os.path.join(outdir, "scores.txt")
-        with open(self.path, "w") as f:
-            f.write("\t".join(_BASIC_COLUMNS) + "\n")
+        if not (resume and os.path.exists(self.path)):
+            with open(self.path, "w") as f:
+                f.write("\t".join(_BASIC_COLUMNS) + "\n")
         self.t0 = time.time()
 
     def record(self, steps, episodes, returns):
@@ -83,26 +84,41 @@ def _curve_loop(
     ``successful_score``: stop at the first eval reaching it (the curve
     then ENDS on a solved agent — VERDICT r2 weak #5: never commit a
     curve whose last row is a regression).
+
+    Wedge-proof: the full runner state snapshots to ``.resume.msgpack``
+    after every eval, so a killed run (flaky TPU tunnel) restarts from
+    its last eval point instead of from scratch.
     """
     import jax
 
-    writer = ScoreWriter(os.path.join(REPO, "benchmarks/curves", name))
+    from pfrl_tpu.replay.persistent import load_state, save_state
+
+    outdir = os.path.join(REPO, "benchmarks/curves", name)
+    resume_path = os.path.join(outdir, ".resume.msgpack")
     state = runner.init(jax.random.PRNGKey(0))
+    resuming = os.path.exists(resume_path)
+    if resuming:
+        state = jax.device_put(load_state(jax.device_get(state), resume_path))
+        print(f"{name}: resuming at step {int(state.t)}", flush=True)
+    writer = ScoreWriter(outdir, resume=resuming)
     step = run_chunk or (lambda s: runner.run_chunk(s, eval_every // runner.config.num_envs)[0])
-    best, best_state = float("-inf"), None
+    best, best_state = float("-inf"), jax.device_get(state.train_state)
     while int(state.t) < steps:
         state = step(state)
         t = int(state.t)
         returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(t))
         mean = writer.record(t, int(state.recent_count), returns)
         print(f"{name} step {t} mean R {mean:.1f}", flush=True)
+        host_state = jax.device_get(state)
+        save_state(host_state, resume_path)
         if mean > best:
-            best, best_state = mean, jax.device_get(state.train_state)
+            best, best_state = mean, host_state.train_state
         if successful_score is not None and mean >= successful_score:
             print(f"{name}: successful_score {successful_score} reached", flush=True)
             break
     if zoo_entry is not None:
         save_zoo(best_state, *zoo_entry)
+    os.path.exists(resume_path) and os.remove(resume_path)
     return best
 
 
