@@ -488,7 +488,38 @@ def bench_pallas_ab():
     }
 
 
+def _gate_tunnel(max_wait=600.0):
+    """Wait for the TPU tunnel to answer a trivial dispatch before starting
+    the watchdog clock. The probe runs in a SUBPROCESS: a wedged tunnel
+    hangs the dispatch forever in-process, which would otherwise burn the
+    whole watchdog budget and emit zeros."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "print(np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros(()))))"
+    )
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=45,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("bench: TPU tunnel not answering, waiting...", flush=True)
+        time.sleep(20)
+    return False
+
+
 def main():
+    global _START
+    _gate_tunnel()
+    _START = time.time()  # watchdog budget starts after the gate
     timer = threading.Timer(WATCHDOG_SECS, _watchdog)
     timer.daemon = True
     timer.start()
