@@ -59,7 +59,9 @@ def test_load_zoo_dqn_and_eval():
         model=FCStateQFunctionWithDiscreteAction(
             n_actions=2, n_hidden_channels=100, n_hidden_layers=2
         ),
-        optimizer=optax.adam(1e-3),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(10.0), optax.adam(1e-3)
+        ),
         explorer=explorers.ConstantEpsilonGreedy(0.0, 2),
         gamma=0.99,
     )
@@ -72,3 +74,56 @@ def test_load_zoo_dqn_and_eval():
     evaluator = JaxEvalLoop(env, core, num_episodes=10, max_steps=501)
     returns = np.asarray(evaluator.evaluate(train_state, jax.random.PRNGKey(1)))
     assert returns.mean() >= 100, returns
+
+
+def test_round3_zoo_entries_resolve():
+    """The round-3 curves added c51/ddpg/drqn best checkpoints."""
+    from pfrl_tpu.utils.pretrained_models import download_model, list_local_models
+
+    models = list_local_models()
+    for name in ("c51/cartpole", "ddpg/pendulum", "drqn/po_abc"):
+        assert name in models, models
+        alg, env = name.split("/")
+        path, exists = download_model(alg, env, model_type="best")
+        assert exists and os.path.isfile(
+            os.path.join(path, "train_state.msgpack")
+        )
+
+
+def test_load_zoo_c51_and_eval():
+    """Restore the zoo C51 CartPole checkpoint: still acts competently
+    (>= 300 mean over 10 greedy episodes; recorded curve ended at 500)."""
+    import optax
+
+    from pfrl_tpu import explorers
+    from pfrl_tpu.agents.categorical_dqn import CategoricalDQNCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.q_functions import (
+        DistributionalFCStateQFunctionWithDiscreteAction,
+    )
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    path, exists = download_model("c51", "cartpole", model_type="best")
+    assert exists
+    env = TimeLimit(CartPole(), 500)
+    core = CategoricalDQNCore(
+        model=DistributionalFCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_atoms=51, v_min=0.0, v_max=500.0,
+            n_hidden_channels=100, n_hidden_layers=2,
+        ),
+        optimizer=optax.adam(1e-3),
+        explorer=explorers.Greedy(),
+        gamma=0.99,
+    )
+    state = core.init(
+        jax.random.PRNGKey(0), np.zeros((1, 4), np.float32)
+    )
+    state = load_state(
+        jax.device_get(state), os.path.join(path, "train_state.msgpack")
+    )
+    returns = JaxEvalLoop(env, core, num_episodes=10, max_steps=501).evaluate(
+        jax.device_put(state), jax.random.PRNGKey(1)
+    )
+    assert returns.mean() >= 300, returns
