@@ -86,8 +86,12 @@ def measure(num_envs, minibatch, seconds):
     runner = OffPolicyRunner(
         AtariSim(n_actions=N_ACTIONS),
         core,
+        # 20k-row ring (vs the anchor's 100k): identical math and
+        # throughput — sampling cost does not depend on capacity — but the
+        # 2.8GB allocation of a 100k uint8 ring reliably wedges the
+        # tunneled chip when the link is degraded.
         ReplayBuffer(
-            100_000,
+            20_000,
             gamma=0.99,
             num_lanes=num_envs,
             store_next_obs=False,
@@ -97,17 +101,23 @@ def measure(num_envs, minibatch, seconds):
     )
     state = runner.init(jax.random.PRNGKey(0))
     chunk = max(32, 4096 // num_envs)
+
+    def sync(metrics):
+        # A REAL value readback, not block_until_ready: over the tunnel,
+        # block_until_ready can acknowledge before execution completes,
+        # silently inflating throughput ~500x (measured).
+        return float(np.asarray(metrics["loss"][-1]))
+
     state, metrics = runner.run_chunk(state, chunk)  # compile + fill
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics)
     state, metrics = runner.run_chunk(state, chunk)  # warm, same shape
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics)
     n, t0 = 0, time.time()
     while time.time() - t0 < seconds:
         state, metrics = runner.run_chunk(state, chunk)
-        jax.block_until_ready(metrics["loss"])
+        loss = sync(metrics)
         n += 1
     elapsed = time.time() - t0
-    loss = float(np.asarray(metrics["loss"][-1]))
     assert np.isfinite(loss)
     return n * chunk * num_envs / elapsed
 
