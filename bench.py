@@ -447,6 +447,12 @@ def bench_pallas_ab():
     jit_comp = jax.jit(composite)
     jit_xgather = jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0))
 
+    def _force(out):
+        """Force a real value readback (block_until_ready can acknowledge
+        early over the tunnel; a data transfer cannot)."""
+        leaf = out[0] if isinstance(out, tuple) else out
+        np.asarray(leaf)
+
     fns = {
         "gather_pallas": lambda: pk.gather_rows_dequantize_pallas(
             storage, ids, scale=1 / 255.0, out_dtype=jnp.float32
@@ -460,17 +466,16 @@ def bench_pallas_ab():
         "fused_xla_composite": lambda: jit_comp(tree, targets, flat_t),
     }
     for f in fns.values():
-        jax.block_until_ready(f())  # compile outside timing
+        _force(f())  # compile outside timing
 
     res = {k: [] for k in fns}
     for _ in range(3):
         for k, fn in fns.items():
-            out = fn()
-            jax.block_until_ready(out)
+            _force(fn())
             t0 = time.time()
             for _ in range(20):
                 out = fn()
-            jax.block_until_ready(out)
+            _force(out)
             res[k].append((time.time() - t0) / 20 * 1e6)
     best = {k: round(min(v), 1) for k, v in res.items()}
     _RESULTS["pallas_ab"] = {
