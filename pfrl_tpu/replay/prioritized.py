@@ -44,6 +44,9 @@ class PrioritizedReplayState:
 
 
 class PrioritizedReplayBuffer(ReplayBuffer):
+
+    # Sampling depends on priorities updated between draws: sequential.
+    iid_samples = False
     def __init__(
         self,
         capacity: int,

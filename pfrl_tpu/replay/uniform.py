@@ -151,6 +151,11 @@ class ReplayBuffer:
         self.use_pallas = use_pallas
         self.fused_dequant_scale = fused_dequant_scale
 
+    #: Samples are iid draws with no cross-sample state (no priority
+    #: feedback): callers may batch many minibatches into one gather.
+    #: PrioritizedReplayBuffer overrides this to False.
+    iid_samples = True
+
     @property
     def wants_next_obs(self) -> bool:
         """Stable protocol for host pollers: whether ``add`` consumes the
