@@ -7,10 +7,15 @@ episodic device buffer, one ``lax.scan`` unroll per update for the online
 and target nets (static shapes, masked loss — SURVEY.md §7 part (f)).
 Act-time carry threads through the runner as explicit state.
 
-Episodes are stored from their first step, so the zero initial carry used
-at update time is exact (the reference instead snapshots mid-episode
-carries because it replays subsequences; our subsequences always start at
-t=0, truncated at max_episode_len).
+Replay follows the reference's random-offset subsequence semantics
+(pfrl/replay_buffer.py:149-154 random_subseq): the episodic buffer samples
+windows at uniformly-random offsets and the update unrolls warm-start from
+the behavior-time carry snapshots stored per transition
+(pfrl/agents/dqn.py:533-543, pfrl/utils/recurrent.py:143-177) — the online
+net from ``EpisodeBatch.init_carry`` (pre-step carry at the window start),
+the target net from ``next_init_carry`` (post-step carry). Windows whose
+buffer stored no carries fall back to zero carries (exact for windows at
+t=0).
 """
 
 from typing import Any, Callable
@@ -71,10 +76,15 @@ class RecurrentDQNCore(DQNCore):
         return tree_where(done, zero, carry)
 
     # ---------------------------------------------------------------- update
-    def _unroll(self, params, rng, obs_seq, B):
-        """obs_seq: [B, T, ...] -> stacked ActionValue over [T] (time-major scan)."""
+    def _unroll(self, params, rng, obs_seq, B, carry0=None):
+        """obs_seq: [B, T, ...] -> stacked ActionValue over [T] (time-major scan).
+
+        ``carry0``: warm-start carry (stored behavior-time snapshot at the
+        window start); zeros when the buffer stored none.
+        """
         xs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seq)  # [T, B, ...]
-        carry0 = self.initial_carry(B)
+        if carry0 is None:
+            carry0 = self.initial_carry(B)
 
         def body(carry, x):
             av, carry = self.model.apply(
@@ -89,10 +99,15 @@ class RecurrentDQNCore(DQNCore):
         tr = batch.transitions
         B, T = batch.mask.shape
 
+        init_c = batch.init_carry
+        tgt_c = batch.next_init_carry
+
         def loss_fn(params):
             rng_on, rng_tgt = jax.random.split(rng)
-            avs = self._unroll(params, rng_on, tr.obs, B)           # [T,B,A]
-            tgt_avs = self._unroll(state.target_params, rng_tgt, tr.next_obs, B)
+            avs = self._unroll(params, rng_on, tr.obs, B, init_c)   # [T,B,A]
+            tgt_avs = self._unroll(
+                state.target_params, rng_tgt, tr.next_obs, B, tgt_c
+            )
             q = avs.evaluate_actions(jnp.swapaxes(tr.action, 0, 1))  # [T,B]
             max_next = jax.lax.stop_gradient(tgt_avs.max())          # [T,B]
             r = jnp.swapaxes(tr.reward, 0, 1)

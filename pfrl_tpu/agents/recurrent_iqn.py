@@ -80,12 +80,17 @@ class RecurrentIQNCore(RecurrentDQNCore):
         )
 
     # ---------------------------------------------------------------- update
-    def _unroll_quantiles(self, params, rng, obs_seq, B, n_taus):
-        """obs_seq: [B, T, ...] -> (quantiles [T, B, n_taus, A], taus [T, B, n_taus])."""
+    def _unroll_quantiles(self, params, rng, obs_seq, B, n_taus, carry0=None):
+        """obs_seq: [B, T, ...] -> (quantiles [T, B, n_taus, A], taus [T, B, n_taus]).
+
+        ``carry0``: warm-start carry (stored behavior-time snapshot at the
+        window start, pfrl/agents/dqn.py:533-543); zeros when absent.
+        """
         xs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seq)
         T = jax.tree.leaves(xs)[0].shape[0]
         tau_rngs = jax.random.split(jax.random.fold_in(rng, 1), T)
-        carry0 = self.initial_carry(B)
+        if carry0 is None:
+            carry0 = self.initial_carry(B)
 
         def body(carry, inp):
             x, tau_rng = inp
@@ -102,13 +107,16 @@ class RecurrentIQNCore(RecurrentDQNCore):
         tr = batch.transitions
         B, T = batch.mask.shape
 
+        init_c = batch.init_carry
+        tgt_c = batch.next_init_carry
+
         def loss_fn(params):
             rng_on, rng_tgt = jax.random.split(rng)
             quant, taus = self._unroll_quantiles(
-                params, rng_on, tr.obs, B, self.N
+                params, rng_on, tr.obs, B, self.N, init_c
             )  # [T,B,N,A], [T,B,N]
             tgt_quant, _ = self._unroll_quantiles(
-                state.target_params, rng_tgt, tr.next_obs, B, self.N_prime
+                state.target_params, rng_tgt, tr.next_obs, B, self.N_prime, tgt_c
             )  # [T,B,N',A]
 
             action = jnp.swapaxes(tr.action, 0, 1).astype(jnp.int32)  # [T,B]

@@ -9,6 +9,7 @@ from pfrl_tpu.envs.abc import ABC
 from pfrl_tpu.envs.atari_sim import AtariSim
 from pfrl_tpu.envs.mujoco_sim import MujocoSim
 from pfrl_tpu.envs.cartpole import CartPole
+from pfrl_tpu.envs.delayed_cue import DelayedCue
 from pfrl_tpu.envs.mountain_car import MountainCarContinuous
 from pfrl_tpu.envs.pendulum import Pendulum
 from pfrl_tpu.envs.host_adapter import HostJaxEnv
@@ -23,6 +24,7 @@ __all__ = [
     "MujocoSim",
     "HostJaxEnv",
     "CartPole",
+    "DelayedCue",
     "MountainCarContinuous",
     "Pendulum",
     "SerialVectorEnv",

@@ -102,6 +102,11 @@ class OffPolicyRunner:
             assert config.num_envs % n_dev == 0, (
                 f"num_envs {config.num_envs} must divide over {n_dev} devices"
             )
+        self._store_carries = (
+            hasattr(core, "select_action_recurrent")
+            and hasattr(core, "init_act_state")
+            and getattr(buffer, "stores_carries", False)
+        )
         self._jit_chunk = None
 
     def _state_shardings(self, state: "RunnerState"):
@@ -151,7 +156,14 @@ class OffPolicyRunner:
         )
         train_state = self.core.init(rng_core, obs, example_actions)
         example_extras = FrozenDict()
-        if hasattr(self.core, "select_action_with_extras"):
+        if self._store_carries:
+            # Per-step recurrent snapshots ride in extras so random-offset
+            # subsequence replay can warm-start mid-episode (the reference's
+            # recurrent_state / next_recurrent_state, pfrl/agents/dqn.py:533-543).
+            carry = self.core.init_act_state(self.config.num_envs)
+            one = jax.tree.map(lambda x: x[0], carry)
+            example_extras = FrozenDict({"carry": one, "next_carry": one})
+        elif hasattr(self.core, "select_action_with_extras"):
             _, ex = jax.eval_shape(
                 lambda ts, r, o: self.core.select_action_with_extras(
                     ts, r, o, jnp.zeros((), jnp.int32), True
@@ -231,6 +243,14 @@ class OffPolicyRunner:
             act_state = state.act_state
         env_states, vec = self.env.step(rng_env, state.env_states, actions)
         ts = vec.ts
+        if self._store_carries:
+            # Snapshot BEFORE the episode-boundary reset: the pre-step carry
+            # seeds a replayed window's online unroll, the post-step carry
+            # seeds the target unroll over next_obs (reference semantics,
+            # pfrl/agents/dqn.py:533-543).
+            extras = FrozenDict(
+                {"carry": state.act_state, "next_carry": act_state}
+            )
         if hasattr(self.core, "reset_act_state"):
             act_state = self.core.reset_act_state(act_state, ts.done)
 

@@ -1,14 +1,33 @@
-"""Episodic device replay buffer.
+"""Episodic device replay buffer with random-offset subsequence replay.
 
 Reference parity: pfrl/replay_buffers/episodic.py:9-99 (whole-episode
-storage + ``sample_episodes(n, max_len)``) — re-expressed with static
-shapes: a fixed ``[max_episodes, max_len, ...]`` block with per-episode
-lengths, per-lane episode routing, and padded/masked episode sampling.
-Replaces pfrl's PackedSequence pipeline for recurrent agents
-(SURVEY.md §7 hard part (f)).
+storage + ``sample_episodes(n, max_len)``) and pfrl/replay_buffer.py:149-154
+(``random_subseq``: a uniformly-random offset window of ``max_len`` steps,
+the whole episode when shorter). Re-expressed with static shapes: a fixed
+``[max_rows, chunk_len, ...]`` block with per-row lengths.
+
+Two deliberate departures from the reference, both TPU-shaped:
+
+* **Chunked long episodes.** Episodes longer than ``max_episode_len`` are
+  not truncated: when a lane's row fills mid-episode the row is sealed
+  (becomes sampleable) and the episode continues in a fresh row. Any
+  window within a chunk replays exactly like a window within an episode
+  because every transition stores the behavior-time recurrent carry (see
+  below) — a chunk boundary is just another valid window start. The cost
+  is that episode sampling weight becomes proportional to
+  ``ceil(len / chunk_len)`` instead of uniform-per-episode (uniform over
+  stored *data* rather than over episodes).
+
+* **Stored carries ride in ``Transition.extras``.** The reference snapshots
+  the recurrent state into each transition (pfrl/agents/dqn.py:533-543,
+  ``recurrent_state`` / ``next_recurrent_state``) so a replayed subsequence
+  warm-starts mid-episode (pfrl/utils/recurrent.py:143-177). Here the
+  runner writes ``extras={"carry": <pre-step>, "next_carry": <post-step>}``
+  per step; :meth:`EpisodeBatch.init_carry` / ``next_init_carry`` gather the
+  window-start snapshots for the online / target unrolls.
 """
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,9 +42,9 @@ class EpisodicReplayState:
     storage: Transition        # [E, L, prod(shape)] per leaf (flattened; see
                                # uniform.ItemShape for the layout rationale)
     ep_len: jax.Array          # [E] int32 written steps per row
-    finished: jax.Array        # [E] bool episode complete
+    finished: jax.Array        # [E] bool row sealed (episode done OR chunk full)
     lane_row: jax.Array        # [num_lanes] row each lane is writing
-    n_started: jax.Array       # monotonic count of episodes started
+    n_started: jax.Array       # monotonic count of rows started
     item_shapes: Any = struct.field(pytree_node=False, default=None)
 
     @property
@@ -35,23 +54,60 @@ class EpisodicReplayState:
 
 @struct.dataclass
 class EpisodeBatch:
-    """Padded sampled episodes ``[B, T, ...]`` with validity mask."""
+    """Padded sampled subsequences ``[B, T, ...]`` with validity mask.
+
+    ``rows``/``offsets`` locate each window in the buffer (row index and
+    window-start step) for tests and priority feedback.
+    """
 
     transitions: Transition
     mask: jax.Array            # [B, T] float32 1 where valid
     lengths: jax.Array         # [B]
+    rows: jax.Array = None     # [B] int32
+    offsets: jax.Array = None  # [B] int32
+
+    @property
+    def init_carry(self) -> Optional[Any]:
+        """Behavior-time recurrent carry at the window start (the carry the
+        actor held BEFORE processing ``obs[:, 0]``), or None if the buffer
+        stored no carries. Reference: ``recurrent_state`` in
+        pfrl/agents/dqn.py:533-538."""
+        ex = self.transitions.extras
+        if "carry" not in ex:
+            return None
+        return jax.tree.map(lambda x: x[:, 0], ex["carry"])
+
+    @property
+    def next_init_carry(self) -> Optional[Any]:
+        """Carry AFTER processing ``obs[:, 0]`` — the warm start for the
+        target net's unroll over ``next_obs``. Reference:
+        ``next_recurrent_state`` in pfrl/agents/dqn.py:539-543."""
+        ex = self.transitions.extras
+        if "next_carry" not in ex:
+            return None
+        return jax.tree.map(lambda x: x[:, 0], ex["next_carry"])
 
 
 class EpisodicReplayBuffer:
     """See module docstring. Subclassed by PrioritizedEpisodicReplayBuffer
     (per-episode priorities) and PersistentEpisodicReplayBuffer (disk
-    snapshots)."""
+    snapshots).
+
+    ``subseq_len``: default window length for :meth:`sample_episodes`
+    (the reference's ``episodic_update_len``). None replays whole rows.
+
+    Capacity sizing: a lane holds a row for at most ``max_episode_len``
+    steps before sealing it, so ``max_episodes`` rows of headroom
+    comfortably above ``2 * num_lanes`` keeps recycled rows from colliding
+    with rows lanes are still writing.
+    """
 
     def __init__(
         self,
         max_episodes: int,
         max_episode_len: int,
         num_lanes: int = 1,
+        subseq_len: Optional[int] = None,
     ):
         assert max_episodes > 2 * num_lanes, (
             "need headroom: lanes occupy rows while writing"
@@ -59,6 +115,7 @@ class EpisodicReplayBuffer:
         self.max_episodes = max_episodes
         self.max_episode_len = max_episode_len
         self.num_lanes = num_lanes
+        self.subseq_len = subseq_len
 
     @property
     def wants_next_obs(self) -> bool:
@@ -66,9 +123,18 @@ class EpisodicReplayBuffer:
         episodic storage keeps whole trajectories, next_obs included."""
         return True
 
+    @property
+    def stores_carries(self) -> bool:
+        """The runner writes per-step recurrent carries into extras for
+        buffers advertising this (pfrl/agents/dqn.py:533-543 parity)."""
+        return True
+
     def configure_lanes(self, num_lanes: int) -> "EpisodicReplayBuffer":
         return EpisodicReplayBuffer(
-            self.max_episodes, self.max_episode_len, num_lanes
+            self.max_episodes,
+            self.max_episode_len,
+            num_lanes,
+            subseq_len=self.subseq_len,
         )
 
     # ------------------------------------------------------------------ init
@@ -95,43 +161,39 @@ class EpisodicReplayBuffer:
 
     # ------------------------------------------------------------------- add
     def add(self, state: EpisodicReplayState, batch: Transition) -> EpisodicReplayState:
-        """Append one step per lane; rotate rows on episode end.
-
-        Episodes longer than max_episode_len keep the first L steps
-        (the reference truncates subsequences the same way via max_len).
-        """
+        """Append one step per lane; seal + rotate rows on episode end OR
+        when a row fills (chunked long-episode storage — nothing is
+        truncated; the continuation row's first transition carries the
+        live recurrent snapshot, so it replays exactly)."""
         lanes = self.num_lanes
         rows = state.lane_row                     # [lanes]
         pos = state.ep_len[rows]                  # [lanes]
-        writable = pos < self.max_episode_len
+        # Rows rotate on fill, so pos < L always holds; clamp defensively.
         safe_pos = jnp.minimum(pos, self.max_episode_len - 1)
 
         def write(s, x):
             if x.ndim > 1:
                 x = x.reshape(x.shape[0], -1)  # flat storage layout
-            cur = s[rows, safe_pos]
-            val = jnp.where(
-                writable.reshape((lanes,) + (1,) * (x.ndim - 1)), x, cur
-            )
-            return s.at[rows, safe_pos].set(val)
+            return s.at[rows, safe_pos].set(x)
 
         storage = jax.tree.map(write, state.storage, batch)
-        ep_len = state.ep_len.at[rows].set(pos + writable.astype(jnp.int32))
+        new_pos = pos + 1
+        ep_len = state.ep_len.at[rows].set(new_pos)
 
         ended = batch.done                        # [lanes]
-        finished = state.finished.at[rows].set(
-            state.finished[rows] | ended
-        )
-        # Assign fresh rows to lanes whose episode ended.
-        n_new = jnp.cumsum(ended.astype(jnp.int32))
+        filled = new_pos >= self.max_episode_len
+        seal = ended | filled
+        finished = state.finished.at[rows].set(state.finished[rows] | seal)
+        # Assign fresh rows to lanes whose row sealed.
+        n_new = jnp.cumsum(seal.astype(jnp.int32))
         new_rows = (state.n_started + n_new - 1) % self.max_episodes
-        next_rows = jnp.where(ended, new_rows, rows)
-        # Recycle: the incoming rows start empty and unfinished.
+        next_rows = jnp.where(seal, new_rows, rows)
+        # Recycle: the incoming rows start empty and unsealed.
         ep_len = ep_len.at[next_rows].set(
-            jnp.where(ended, 0, ep_len[next_rows])
+            jnp.where(seal, 0, ep_len[next_rows])
         )
         finished = finished.at[next_rows].set(
-            jnp.where(ended, False, finished[next_rows])
+            jnp.where(seal, False, finished[next_rows])
         )
         return state.replace(
             storage=storage,
@@ -142,6 +204,43 @@ class EpisodicReplayBuffer:
         )
 
     # ---------------------------------------------------------------- sample
+    def _gather_windows(
+        self,
+        state: EpisodicReplayState,
+        rng: jax.Array,
+        idx: jax.Array,
+        T: int,
+    ) -> EpisodeBatch:
+        """Random-offset windows of ``T`` steps from rows ``idx``.
+
+        Offset ~ U[0, max(0, row_len - T)] inclusive — exactly the
+        reference's ``random_subseq`` (pfrl/replay_buffer.py:149-154):
+        rows shorter than T are returned whole (offset 0, masked tail).
+        """
+        n = idx.shape[0]
+        full_len = state.ep_len[idx]              # [B]
+        max_off = jnp.maximum(full_len - T, 0)
+        u = jax.random.uniform(rng, (n,))
+        off = jnp.minimum((u * (max_off + 1)).astype(jnp.int32), max_off)
+        t_idx = off[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        t_idx = jnp.minimum(t_idx, self.max_episode_len - 1)
+
+        def take(s, shape):
+            sub = s[idx[:, None], t_idx]          # [B, T, prod]
+            return sub.reshape((n, T) + shape.shape)
+
+        transitions = jax.tree.map(take, state.storage, state.item_shapes)
+        lengths = jnp.minimum(full_len - off, T)
+        t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
+        mask = (t_iota < lengths[:, None]).astype(jnp.float32)
+        return EpisodeBatch(
+            transitions=transitions,
+            mask=mask,
+            lengths=lengths,
+            rows=idx,
+            offsets=off,
+        )
+
     def sample_episodes(
         self,
         state: EpisodicReplayState,
@@ -149,25 +248,17 @@ class EpisodicReplayBuffer:
         n_episodes: int,
         max_len: int = None,
     ) -> EpisodeBatch:
-        """Uniformly sample finished episodes, padded to ``max_len``
-        (default: full max_episode_len). Sampling weight is uniform per
-        episode (episodic.py:48-54)."""
-        T = max_len or self.max_episode_len
+        """Uniformly sample sealed rows, then a random-offset window of
+        ``max_len`` (default ``subseq_len``, else the whole row) from each
+        — reference ``sample_episodes(n, max_len)`` semantics
+        (pfrl/replay_buffers/episodic.py:48-54)."""
+        T = max_len or self.subseq_len or self.max_episode_len
+        rng_row, rng_off = jax.random.split(rng)
         probs = state.finished.astype(jnp.float32)
         idx = jax.random.categorical(
-            rng, jnp.log(probs + 1e-20), shape=(n_episodes,)
+            rng_row, jnp.log(probs + 1e-20), shape=(n_episodes,)
         )
-        lengths = jnp.minimum(state.ep_len[idx], T)
-
-        def take(s, shape):
-            sub = s[idx]                          # [B, L, prod]
-            sub = sub[:, :T] if T <= sub.shape[1] else sub
-            return sub.reshape(sub.shape[:2] + shape.shape)
-
-        transitions = jax.tree.map(take, state.storage, state.item_shapes)
-        t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
-        mask = (t_iota < lengths[:, None]).astype(jnp.float32)
-        return EpisodeBatch(transitions=transitions, mask=mask, lengths=lengths)
+        return self._gather_windows(state, rng_off, idx, T)
 
     # ------------------------------------------------------- storage split
     # See ReplayBuffer.split_storage: keeps the episode storage out of

@@ -39,8 +39,11 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
         uniform_ratio: float = 0.1,
         alpha: float = 1.0,
         eps: float = 1e-3,
+        subseq_len=None,
     ):
-        super().__init__(max_episodes, max_episode_len, num_lanes)
+        super().__init__(
+            max_episodes, max_episode_len, num_lanes, subseq_len=subseq_len
+        )
         self.uniform_ratio = uniform_ratio
         self.alpha = alpha
         self.eps = eps
@@ -54,6 +57,7 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
             uniform_ratio=self.uniform_ratio,
             alpha=self.alpha,
             eps=self.eps,
+            subseq_len=self.subseq_len,
         )
 
     def init(self, example: Transition) -> PrioritizedEpisodicReplayState:
@@ -90,7 +94,7 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
     def sample_episodes(
         self, state, rng: jax.Array, n_episodes: int, max_len: int = None
     ) -> EpisodeBatch:
-        rng_p, rng_u, rng_mix = jax.random.split(rng, 3)
+        rng_p, rng_u, rng_mix, rng_off = jax.random.split(rng, 4)
         prioritized = sum_tree.stratified_sample(state.tree, rng_p, n_episodes)
         finished = state.base.finished.astype(jnp.float32)
         uniform = jax.random.categorical(
@@ -98,17 +102,8 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
         )
         use_uniform = jax.random.uniform(rng_mix, (n_episodes,)) < self.uniform_ratio
         idx = jnp.where(use_uniform, uniform, prioritized)
-
-        T = max_len or self.max_episode_len
-        lengths = jnp.minimum(state.base.ep_len[idx], T)
-        transitions = jax.tree.map(
-            lambda s, shape: s[idx][:, :T].reshape((n_episodes, T) + shape.shape),
-            state.base.storage,
-            state.base.item_shapes,
-        )
-        t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
-        mask = (t_iota < lengths[:, None]).astype(jnp.float32)
-        return EpisodeBatch(transitions=transitions, mask=mask, lengths=lengths)
+        T = max_len or self.subseq_len or self.max_episode_len
+        return self._gather_windows(state.base, rng_off, idx, T)
 
     def update_episode_priorities(self, state, rows, errors):
         prio = (jnp.abs(errors) + self.eps) ** self.alpha
