@@ -6,8 +6,14 @@ reference's flagship workload); the other two north-star anchors
 
   - dqn:  Nature DQN, LargeAtariCNN over 84x84x4 uint8, batch 32 per 4 env
           transitions, 64 lanes, 100k uint8 device replay (AtariSim).
+          Runs an fp32/bf16 A/B (interleaved rounds); headline = bf16
+          compute over fp32 masters, both numbers reported.
           PFRL: ~160 env-steps/s/GPU (50M steps / 3.613 days,
           examples/atari/reproduction/dqn/README.md:132).
+
+Anchors report best-round throughput plus a ``spread`` (worst/best round
+elapsed): the tunneled TPU's dispatch latency is bimodal and a single bad
+window swung the r03 dqn capture 2.6x — the spread makes that visible.
   - ppo:  MuJoCo-shape PPO — twin (64,64) tanh towers on obs[17]/act[6],
           2048-step rollouts, 10 epochs x batch 64 (MujocoSim).
           PFRL: ~200 env-steps/s (2M steps / ~2.8 h, ppo/README.md:68-71).
@@ -69,6 +75,32 @@ def _timed_chunks(run, sync, reps):
     return time.time() - t0
 
 
+def _timed_rounds(run, sync, reps, rounds=3):
+    """Per-round timings of ``reps`` calls each, after two warm calls.
+
+    The tunneled TPU's dispatch latency is bimodal (~30 µs vs ~1 ms
+    windows, minutes-long): a single window can swing an anchor 2.6x
+    (BENCH_r03 dqn). Anchors therefore report BEST-round throughput plus
+    the spread (worst/best elapsed) so a bad window is visible instead of
+    silently becoming the headline.
+    """
+    sync(run())
+    sync(run())
+    times = []
+    for _ in range(rounds):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = run()
+        sync(out)
+        times.append(time.time() - t0)
+    return times
+
+
+def _best_and_spread(times):
+    return min(times), round(max(times) / min(times), 2)
+
+
 def _emit(fail=False):
     dqn = _RESULTS.get("dqn", {}).get("value", 0.0)
     line = {
@@ -89,6 +121,9 @@ def _emit(fail=False):
     line["anchors"] = anchors
     if "pallas_ab" in _RESULTS:
         line["pallas_ab"] = _RESULTS["pallas_ab"]
+    if "dispatch_floor_us" in _RESULTS:
+        line["dispatch_floor_us"] = _RESULTS["dispatch_floor_us"]
+        line["link_degraded"] = _RESULTS["link_degraded"]
     if fail:
         line["note"] = "watchdog: TPU dispatch hung"
     print(json.dumps(line), flush=True)
@@ -128,46 +163,71 @@ def bench_dqn():
             h = LargeAtariCNN()(x)
             return DiscreteActionValueHead()(nn.Dense(n_actions)(h))
 
-    core = DQNCore(
-        model=NatureQ(),
-        optimizer=optax.rmsprop(2.5e-4, decay=0.95, eps=1e-2),
-        explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 1_000_000, n_actions),
-        gamma=0.99,
-        batch_accumulator="sum",
-        phi=atari_phi,
-    )
-    # Nature-DQN cadence: 1 update (batch 32) per 4 env transitions.
-    cfg = RunnerConfig(
-        num_envs=num_envs,
-        replay_start_size=2_000,
-        update_interval=4,
-        target_update_interval=10_000,
-        minibatch_size=32,
-    )
-    runner = OffPolicyRunner(
-        AtariSim(n_actions=n_actions),
-        core,
-        ReplayBuffer(
-            100_000,
+    def make_runner(compute_dtype):
+        core = DQNCore(
+            model=NatureQ(),
+            optimizer=optax.rmsprop(2.5e-4, decay=0.95, eps=1e-2),
+            explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 1_000_000, n_actions),
             gamma=0.99,
-            num_lanes=num_envs,
-            store_next_obs=False,
-            fused_dequant_scale=1.0 / 255.0,   # dequantize inside the sample gather
-        ),
-        cfg,
-    )
-    state = runner.init(jax.random.PRNGKey(0))
-    chunk_steps, n_chunks = 200, 5
-    box = [state]
+            batch_accumulator="sum",
+            phi=atari_phi,
+            compute_dtype=compute_dtype,
+        )
+        # Nature-DQN cadence: 1 update (batch 32) per 4 env transitions.
+        cfg = RunnerConfig(
+            num_envs=num_envs,
+            replay_start_size=2_000,
+            update_interval=4,
+            target_update_interval=10_000,
+            minibatch_size=32,
+        )
+        return OffPolicyRunner(
+            AtariSim(n_actions=n_actions),
+            core,
+            ReplayBuffer(
+                100_000,
+                gamma=0.99,
+                num_lanes=num_envs,
+                store_next_obs=False,
+                fused_dequant_scale=1.0 / 255.0,  # dequantize inside the gather
+            ),
+            cfg,
+        )
 
-    def run():
-        box[0], metrics = runner.run_chunk(box[0], chunk_steps)
-        return metrics
+    chunk_steps, reps, rounds = 200, 2, 3
+    variants = {}
+    for name, dtype in [("fp32", None), ("bf16", jnp.bfloat16)]:
+        runner = make_runner(dtype)
+        box = [runner.init(jax.random.PRNGKey(0))]
 
-    elapsed = _timed_chunks(
-        run, lambda m: float(np.asarray(m["loss"][-1])), n_chunks
-    )
-    sps = n_chunks * chunk_steps * num_envs / elapsed
+        def run(box=box, runner=runner):
+            box[0], metrics = runner.run_chunk(box[0], chunk_steps)
+            return metrics
+
+        variants[name] = (run, box)
+
+    # Interleave the precision variants round-robin (same-window
+    # comparisons only — the tunnel's latency is bimodal across minutes).
+    sync = lambda m: float(np.asarray(m["loss"][-1]))  # noqa: E731
+    for run, _ in variants.values():
+        sync(run())
+        sync(run())
+    times = {k: [] for k in variants}
+    for _ in range(rounds):
+        for k, (run, _) in variants.items():
+            t0 = time.time()
+            out = None
+            for _ in range(reps):
+                out = run()
+            sync(out)
+            times[k].append(time.time() - t0)
+    sps_by = {
+        k: reps * chunk_steps * num_envs / min(v) for k, v in times.items()
+    }
+    spread_by = {k: round(max(v) / min(v), 2) for k, v in times.items()}
+    # Headline = bf16 (the TPU-native configuration; curve parity is
+    # gated by tests/test_precision.py and the recorded curves).
+    sps = sps_by["bf16"]
 
     # Achieved FLOP/s and MFU, analytic (VERDICT r2 weak #6: make "is the
     # framework or the workload the limit" answerable). XLA's
@@ -198,8 +258,13 @@ def bench_dqn():
     _RESULTS["dqn"] = {
         "value": sps,
         "workload": "NatureCNN 84x84x4 uint8, batch32 per 4 steps, 64 lanes,"
-        " 100k uint8 device replay, fused gather+dequant (AtariSim)",
+        " 100k uint8 device replay, fused gather+dequant, bf16 compute /"
+        " fp32 masters (AtariSim)",
         "updates_per_sec": round(sps / 4, 1),
+        "fp32_steps_per_sec": round(sps_by["fp32"], 1),
+        "bf16_steps_per_sec": round(sps_by["bf16"], 1),
+        "bf16_speedup": round(sps_by["bf16"] / sps_by["fp32"], 2),
+        "spread": spread_by,
         **mfu_fields,
     }
 
@@ -247,16 +312,19 @@ def bench_ppo():
         box[0], aux = runner.run_iterations(box[0], n_iter)
         return aux
 
-    elapsed = _timed_chunks(
+    times = _timed_rounds(
         run,
         lambda a: float(np.asarray(jax.tree.leaves(a)[0]).ravel()[-1]),
-        reps,
+        1,
+        rounds=max(reps, 3),
     )
-    sps = reps * n_iter * rollout * num_envs / elapsed
+    best, spread = _best_and_spread(times)
+    sps = n_iter * rollout * num_envs / best
     _RESULTS["ppo"] = {
         "value": sps,
         "workload": "obs17/act6 MLP(64,64)x2, 2048-step rollout, "
         "10 epochs x batch 64 (MujocoSim)",
+        "spread": spread,
     }
 
 
@@ -318,15 +386,17 @@ def bench_sac():
         box[0], metrics = runner.run_chunk(box[0], n_steps)
         return metrics
 
-    elapsed = _timed_chunks(
-        run, lambda m: float(np.asarray(m["loss"]).ravel()[-1]), reps
+    times = _timed_rounds(
+        run, lambda m: float(np.asarray(m["loss"]).ravel()[-1]), 1, rounds=reps
     )
-    sps = reps * n_steps * num_envs / elapsed
+    best, spread = _best_and_spread(times)
+    sps = n_steps * num_envs / best
     _RESULTS["sac"] = {
         "value": sps,
         "workload": "obs17/act6 SAC (256,256), twin critics + learned temp, "
         "1 update (batch 256) per env transition (MujocoSim)",
         "updates_per_sec": round(sps, 1),
+        "spread": spread,
     }
 
 
@@ -391,16 +461,18 @@ def bench_td3():
         box[0], metrics = runner.run_chunk(box[0], n_steps)
         return metrics
 
-    elapsed = _timed_chunks(
-        run, lambda m: float(np.asarray(m["loss"]).ravel()[-1]), reps
+    times = _timed_rounds(
+        run, lambda m: float(np.asarray(m["loss"]).ravel()[-1]), 1, rounds=reps
     )
-    sps = reps * n_steps * num_envs / elapsed
+    best, spread = _best_and_spread(times)
+    sps = n_steps * num_envs / best
     _RESULTS["td3"] = {
         "value": sps,
         "workload": "obs17/act6 TD3 (256,256), twin-min critics, delayed "
         "actor (every 2), 1 update (batch 256) per env transition "
         "(MujocoSim)",
         "updates_per_sec": round(sps, 1),
+        "spread": spread,
     }
 
 
@@ -521,9 +593,31 @@ def _gate_tunnel(max_wait=600.0):
     return False
 
 
+def _probe_floor():
+    """Measure the tunnel's synced-dispatch floor (µs). Good windows sit at
+    ~30-40 µs; degraded windows at 0.6 ms+ deflate every anchor ~2.6x
+    (BENCH_r03), so the capture must say which window it ran in."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(())
+    float(np.asarray(f(x)))
+    best = float("inf")
+    for _ in range(30):
+        t0 = time.time()
+        float(np.asarray(f(x)))
+        best = min(best, time.time() - t0)
+    return best * 1e6
+
+
 def main():
     global _START
     _gate_tunnel()
+    floor_us = _probe_floor()
+    _RESULTS["dispatch_floor_us"] = round(floor_us, 1)
+    _RESULTS["link_degraded"] = bool(floor_us > 300.0)
     _START = time.time()  # watchdog budget starts after the gate
     timer = threading.Timer(WATCHDOG_SECS, _watchdog)
     timer.daemon = True

@@ -9,6 +9,13 @@ actor-critic math, no gradient staleness (see pfrl_tpu/agents/a3c.py).
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -16,7 +23,7 @@ import optax
 
 from pfrl_tpu.agents.a3c import A3CCore
 from pfrl_tpu.envs import AtariSim
-from pfrl_tpu.experiments import OnPolicyRunner
+from pfrl_tpu.experiments import JaxEvalLoop, OnPolicyRunner
 from pfrl_tpu.models import SmallAtariCNN
 from pfrl_tpu.policies import SoftmaxCategoricalHead
 
@@ -42,6 +49,7 @@ def main():
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--t-max", type=int, default=5)
     parser.add_argument("--outdir", default="results/a3c")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     n_actions = 6
@@ -62,6 +70,10 @@ def main():
         rollout_len=args.t_max,
     )
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     import time
 
     t0 = time.time()
@@ -73,6 +85,7 @@ def main():
             f"recent R {runner.recent_return_mean(state):.1f}",
             flush=True,
         )
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 if __name__ == "__main__":

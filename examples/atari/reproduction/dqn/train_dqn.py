@@ -13,6 +13,13 @@ Usage:
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -53,7 +60,7 @@ def make_agent_config(n_actions, args):
 def run_sim(args):
     from pfrl_tpu.agents import DQNCore
     from pfrl_tpu.envs import AtariSim
-    from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
 
     n_actions = 6
     core = DQNCore(model=NatureQ(n_actions=n_actions), **make_agent_config(n_actions, args))
@@ -70,6 +77,12 @@ def run_sim(args):
     )
     runner = OffPolicyRunner(AtariSim(n_actions=n_actions), core, buffer, cfg)
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(
+        AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500
+    )
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     import time
 
     chunk = 500
@@ -83,6 +96,7 @@ def run_sim(args):
             f"loss {loss:.4f} | recent R {runner.recent_return_mean(state):.1f}",
             flush=True,
         )
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def run_ale(args):
@@ -122,6 +136,17 @@ def run_ale(args):
         phi=lambda x: jnp.asarray(np.asarray(x), jnp.float32) / 255.0,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent,
         env,
@@ -149,6 +174,7 @@ def main():
     parser.add_argument("--final-exploration-frames", type=int, default=10**6)
     parser.add_argument("--max-frames", type=int, default=30 * 60 * 60)
     parser.add_argument("--outdir", default="results/dqn")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     if args.sim:

@@ -5,13 +5,20 @@ identical computation against the device-side AtariSim.
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from pfrl_tpu.agents.iqn import IQNCore
 from pfrl_tpu.envs import AtariSim
-from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
 from pfrl_tpu.explorers import LinearDecayEpsilonGreedy
 from pfrl_tpu.models import LargeAtariCNN
 from pfrl_tpu.q_functions.quantile_q_functions import ImplicitQuantileQFunction
@@ -28,6 +35,7 @@ def main():
     parser.add_argument("--replay-start-size", type=int, default=5 * 10**4)
     parser.add_argument("--target-update-interval", type=int, default=10**4)
     parser.add_argument("--outdir", default="results/iqn")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     n_actions = 6
@@ -57,6 +65,10 @@ def main():
     )
     runner = OffPolicyRunner(AtariSim(n_actions=n_actions), core, buffer, cfg)
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     import time
 
     t0 = time.time()
@@ -69,6 +81,7 @@ def main():
             f"recent R {runner.recent_return_mean(state):.1f}",
             flush=True,
         )
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 if __name__ == "__main__":

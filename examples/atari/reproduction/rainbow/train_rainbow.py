@@ -8,6 +8,13 @@ device-side AtariSim via the on-device runner.
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -15,7 +22,7 @@ import optax
 
 from pfrl_tpu.agents.categorical_dqn import CategoricalDoubleDQNCore
 from pfrl_tpu.envs import AtariSim
-from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
 from pfrl_tpu.explorers import Greedy
 from pfrl_tpu.models import LargeAtariCNN
 from pfrl_tpu.models.noisy_linear import FactorizedNoisyDense
@@ -58,6 +65,7 @@ def main():
     parser.add_argument("--replay-start-size", type=int, default=2 * 10**4)
     parser.add_argument("--target-update-interval", type=int, default=32_000)
     parser.add_argument("--outdir", default="results/rainbow")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     n_actions = 6
@@ -81,6 +89,10 @@ def main():
     )
     runner = OffPolicyRunner(AtariSim(n_actions=n_actions), core, buffer, cfg)
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     import time
 
     t0 = time.time()
@@ -93,6 +105,7 @@ def main():
             f"recent R {runner.recent_return_mean(state):.1f}",
             flush=True,
         )
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,13 @@ OnPolicyRunner over the on-device AtariSim.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 import time
 
 import flax.linen as nn
@@ -56,16 +63,21 @@ def build_core(n_actions, args):
 
 def run_sim(args):
     from pfrl_tpu.envs import AtariSim
-    from pfrl_tpu.experiments import OnPolicyRunner
+    from pfrl_tpu.experiments import JaxEvalLoop, OnPolicyRunner
 
     n_actions = 6
+    core = build_core(n_actions, args)
     runner = OnPolicyRunner(
         AtariSim(n_actions=n_actions),
-        build_core(n_actions, args),
+        core,
         num_envs=args.num_envs,
         rollout_len=args.update_steps,
     )
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     t0 = time.time()
     per_iter = args.num_envs * args.update_steps
     while int(state.t) < args.steps:
@@ -73,6 +85,7 @@ def run_sim(args):
         t = int(state.t)
         print(f"step {t:>9} | {t / (time.time() - t0):>8.0f} env-steps/s")
     print(f"done: {int(state.t)} transitions in {time.time() - t0:.1f}s")
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def run_ale(args):
@@ -109,6 +122,19 @@ def run_ale(args):
         phi=phi,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        from pfrl_tpu.experiments import eval_performance
+
+        stats = eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     train_agent_batch_with_evaluation(
         agent=agent,
         env=env,
@@ -134,6 +160,7 @@ def main():
     parser.add_argument("--tau", type=float, default=0.95)
     parser.add_argument("--eval-interval", type=int, default=10**6)
     parser.add_argument("--outdir", default="results/a2c_ale")
+    add_demo_args(parser)
     args = parser.parse_args()
     if args.sim:
         run_sim(args)

@@ -8,6 +8,13 @@ the Nature CNN torso, 51 atoms on [-10, 10], Adam(eps=1e-2/batch_size).
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 import time
 
 import flax.linen as nn
@@ -45,7 +52,7 @@ class C51Q(nn.Module):
 
 def run_sim(args):
     from pfrl_tpu.envs import AtariSim
-    from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
 
     n_actions = 6
     core = CategoricalDQNCore(
@@ -73,12 +80,17 @@ def run_sim(args):
         ),
     )
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     t0 = time.time()
     while int(state.t) < args.steps:
         state, _ = runner.run_chunk(state, args.chunk)
         t = int(state.t)
         print(f"step {t:>9} | {t / (time.time() - t0):>8.0f} env-steps/s")
     print(f"done: {int(state.t)} transitions in {time.time() - t0:.1f}s")
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def main():
@@ -96,6 +108,7 @@ def main():
     parser.add_argument("--replay-capacity", type=int, default=10**6)
     parser.add_argument("--replay-start-size", type=int, default=5 * 10**4)
     parser.add_argument("--target-update-interval", type=int, default=10**4)
+    add_demo_args(parser)
     args = parser.parse_args()
     if not args.sim:
         raise SystemExit(

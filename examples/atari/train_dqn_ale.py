@@ -14,6 +14,13 @@ training computation at the real shapes.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 import time
 
 import flax.linen as nn
@@ -101,7 +108,7 @@ def build_core_and_buffer(n_actions, args):
 
 def run_sim(args):
     from pfrl_tpu.envs import AtariSim
-    from pfrl_tpu.experiments import OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
 
     n_actions = 6
     core, buffer = build_core_and_buffer(n_actions, args)
@@ -118,6 +125,12 @@ def run_sim(args):
         ),
     )
     state = runner.init(jax.random.PRNGKey(args.seed))
+    evaluator = JaxEvalLoop(
+        AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500
+    )
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     t0 = time.time()
     while int(state.t) < args.steps:
         state, metrics = runner.run_chunk(state, args.chunk)
@@ -127,6 +140,7 @@ def run_sim(args):
             f" | loss {float(jnp.asarray(metrics['loss'][-1])):.4f}"
         )
     print(f"done: {int(state.t)} transitions in {time.time() - t0:.1f}s")
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def run_ale(args):
@@ -163,6 +177,19 @@ def run_ale(args):
         seed=args.seed,
         core_cls=DoubleDQNCore if args.double else DQNCore,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        from pfrl_tpu.experiments import eval_performance
+
+        stats = eval_performance(
+            env=make_env(True), agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     train_agent_with_evaluation(
         agent=agent,
         env=env,
@@ -202,6 +229,7 @@ def main():
                         help="scan steps per device dispatch (sim mode)")
     parser.add_argument("--max-frames", type=int, default=30 * 60 * 60)
     parser.add_argument("--outdir", default="results/dqn_ale")
+    add_demo_args(parser)
     args = parser.parse_args()
     if args.sim:
         run_sim(args)

@@ -20,6 +20,13 @@ same; kept here so every reference entry point exists).
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import flax.linen as nn
 import jax.numpy as jnp
 import optax
@@ -91,6 +98,17 @@ def run_batch(args):
         [lambda i=i: make_ale_env(args, i, True) for i in range(args.num_envs)]
     )
     agent = build_agent(env.action_space.n, args.num_envs, args)
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_batch_with_evaluation(
         agent=agent,
         env=env,
@@ -231,6 +249,7 @@ def main():
     parser.add_argument("--target-update-interval", type=int, default=10**4)
     parser.add_argument("--eval-interval", type=int, default=10**5)
     parser.add_argument("--outdir", default="results/dqn_batch_ale")
+    add_demo_args(parser)
     args = parser.parse_args()
     if args.multihost:
         run_multihost(args)

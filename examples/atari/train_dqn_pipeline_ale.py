@@ -13,6 +13,13 @@ ships full observations over pipes instead.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 import functools
 import time
 
@@ -54,6 +61,7 @@ def main():
     parser.add_argument("--burst", type=int, default=64)
     parser.add_argument("--log-interval", type=float, default=30.0)
     parser.add_argument("--seed", type=int, default=0)
+    add_demo_args(parser)
     args = parser.parse_args()
 
     import flax.linen as nn
@@ -90,6 +98,26 @@ def main():
         batch_accumulator="sum",
         phi=atari_phi,
     )
+    if args.demo or args.load:
+        import jax
+        import jax.numpy as jnp
+
+        from pfrl_tpu.envs import AtariSim
+        from pfrl_tpu.experiments import JaxEvalLoop
+        from pfrl_tpu.experiments.demo_cli import resolve_train_state_path
+        from pfrl_tpu.replay.persistent import load_state
+
+        ts = core.init(jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 4), jnp.uint8))
+        if args.load:
+            ts = jax.device_put(
+                load_state(jax.device_get(ts), resolve_train_state_path(args.load))
+            )
+        evaluator = JaxEvalLoop(
+            AtariSim(n_actions=n_actions), core, num_episodes=5, max_steps=500
+        )
+        if run_demo_if_requested(args, evaluator, ts, seed=args.seed):
+            return
+
     pipe = AtariActorLearnerPipeline(
         core=core,
         env_factory=factory,
@@ -123,6 +151,7 @@ def main():
             last_t, last_steps = now, steps
     finally:
         pipe.stop()
+    save_train_state_if_requested(pipe.train_state, args.save_to)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,8 @@ entropy -dim(A), squashed-Gaussian policy over (256, 256) MLPs.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import add_demo_args
 import functools
 
 import flax.linen as nn
@@ -96,6 +98,7 @@ def main():
     parser.add_argument("--adam-eps", type=float, default=1e-1)
     parser.add_argument("--monitor", action="store_true")
     parser.add_argument("--outdir", default="results/sac_atlas")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     sample_env = make_env(args, args.seed, test=False)
@@ -122,6 +125,17 @@ def main():
         burnin_steps=args.replay_start_size,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=make_batch_env(args, test=True), agent=agent, n_steps=None, n_episodes=args.eval_n_runs
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_batch_with_evaluation(
         agent,
         make_batch_env(args, test=False),

@@ -12,6 +12,7 @@ tuples — exercising the framework's pytree observation path end to end
 """
 
 import argparse
+
 import functools
 
 import flax.linen as nn

@@ -8,6 +8,13 @@ the return support.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 import time
 
 import jax
@@ -37,6 +44,7 @@ def main():
     parser.add_argument("--target-update-interval", type=int, default=2048)
     parser.add_argument("--minibatch-size", type=int, default=64)
     parser.add_argument("--eval-interval", type=int, default=50_000)
+    add_demo_args(parser)
     args = parser.parse_args()
 
     make_env, v_min, v_max = ENVS[args.env]
@@ -71,6 +79,9 @@ def main():
     )
     evaluator = JaxEvalLoop(env, core, num_episodes=10, max_steps=500)
     state = runner.init(jax.random.PRNGKey(args.seed))
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     chunk = max(1, args.eval_interval // args.num_envs)
     t0, next_eval = time.time(), args.eval_interval
     while int(state.t) < args.steps:
@@ -84,6 +95,7 @@ def main():
                 f" | eval mean R {returns.mean():7.1f}"
             )
     print(f"done: {int(state.t)} transitions in {time.time() - t0:.1f}s")
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 if __name__ == "__main__":

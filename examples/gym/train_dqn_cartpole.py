@@ -17,7 +17,15 @@ import optax
 
 from pfrl_tpu.agents import DQNCore
 from pfrl_tpu.envs import CartPole, TimeLimit
-from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
+from pfrl_tpu.experiments import (
+    JaxEvalLoop,
+    OffPolicyRunner,
+    RunnerConfig,
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 from pfrl_tpu.explorers import LinearDecayEpsilonGreedy
 from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
 from pfrl_tpu.replay import ReplayBuffer
@@ -37,6 +45,7 @@ def main():
     parser.add_argument("--minibatch-size", type=int, default=128)
     parser.add_argument("--update-per", type=int, default=32,
                         help="one gradient step per this many env transitions")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     env = TimeLimit(CartPole())
@@ -63,6 +72,9 @@ def main():
     runner = OffPolicyRunner(env, core, buffer, cfg)
     state = runner.init(jax.random.PRNGKey(args.seed))
     evaluator = JaxEvalLoop(env, core, num_episodes=16, max_steps=500)
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
 
     steps_per_chunk = max(1, args.eval_interval // args.num_envs)
     total_chunks = max(1, args.steps // (steps_per_chunk * args.num_envs))
@@ -82,6 +94,7 @@ def main():
             f"loss {float(metrics['loss'][-1]):.4f}"
         )
     print(f"done: {int(state.t)} transitions in {time.time()-t0:.1f}s")
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 if __name__ == "__main__":

@@ -9,12 +9,17 @@ Usage: python examples/gym/train_ppo_pendulum.py --steps 100000
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import add_demo_args
+
 import flax.linen as nn
 import optax
 
 from pfrl_tpu.agents.ppo import PPO
 from pfrl_tpu.envs import HostJaxEnv, Pendulum, SerialVectorEnv, TimeLimit
-from pfrl_tpu.experiments import train_agent_batch_with_evaluation
+from pfrl_tpu.experiments import (
+    eval_performance,
+    train_agent_batch_with_evaluation,
+)
 from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
 
 
@@ -49,6 +54,7 @@ def main():
     parser.add_argument("--num-envs", type=int, default=8)
     parser.add_argument("--eval-interval", type=int, default=20_000)
     parser.add_argument("--outdir", type=str, default="results/ppo_pendulum")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     def make_vec(seed0):
@@ -72,6 +78,17 @@ def main():
         standardize_advantages=True,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = eval_performance(
+            env=make_vec(args.seed * 100 + 50), agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     agent, history = train_agent_batch_with_evaluation(
         agent,
         make_vec(args.seed * 100),

@@ -9,6 +9,8 @@ Monte-Carlo policy gradient with a softmax policy, driven by
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import add_demo_args
+
 import flax.linen as nn
 import optax
 
@@ -38,6 +40,7 @@ def main():
     parser.add_argument("--eval-interval", type=int, default=10_000)
     parser.add_argument("--eval-n-runs", type=int, default=10)
     parser.add_argument("--outdir", type=str, default="results/reinforce_cartpole")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     outdir = experiments.prepare_output_dir(args, args.outdir)
@@ -53,6 +56,17 @@ def main():
     )
     env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed)
     eval_env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed + 10**6)
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=args.eval_n_runs
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent=agent,
         env=env,

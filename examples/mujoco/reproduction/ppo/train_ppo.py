@@ -6,6 +6,13 @@ fully on-device runner at device speed.
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import flax.linen as nn
 import jax
 import optax
@@ -70,6 +77,14 @@ def run_device(args):
         TimeLimit(Pendulum()), core, num_envs=args.num_envs, rollout_len=128
     )
     state = runner.init(jax.random.PRNGKey(args.seed))
+    from pfrl_tpu.experiments import JaxEvalLoop
+
+    evaluator = JaxEvalLoop(
+        TimeLimit(Pendulum()), core, num_episodes=10, max_steps=200
+    )
+    state = maybe_load_train_state(state, args.load)
+    if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
+        return
     import time
 
     t0 = time.time()
@@ -82,6 +97,7 @@ def run_device(args):
             f"recent R {runner.recent_return_mean(state):8.1f}",
             flush=True,
         )
+    save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def main():
@@ -94,6 +110,7 @@ def main():
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--eval-interval", type=int, default=100_000)
     parser.add_argument("--outdir", default="results/ppo")
+    add_demo_args(parser)
     args = parser.parse_args()
 
     if args.jax_env:
@@ -117,6 +134,17 @@ def main():
         standardize_advantages=True,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent,
         env,

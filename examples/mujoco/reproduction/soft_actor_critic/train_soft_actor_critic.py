@@ -8,6 +8,8 @@ code path.
 """
 
 import argparse
+
+from pfrl_tpu.experiments.demo_cli import add_demo_args
 import functools
 
 import flax.linen as nn
@@ -59,6 +61,7 @@ def main():
     parser.add_argument("--eval-interval", type=int, default=5000)
     parser.add_argument("--replay-start-size", type=int, default=10_000)
     parser.add_argument("--outdir", default="results/sac")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     env = make_env(args, args.seed)
@@ -85,6 +88,17 @@ def main():
         burnin_steps=args.replay_start_size,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent,
         env,

@@ -4,6 +4,8 @@ gym/mujoco are absent."""
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import add_demo_args
+
 import flax.linen as nn
 import optax
 
@@ -51,6 +53,7 @@ def main():
     parser.add_argument("--steps", type=int, default=2 * 10**6)
     parser.add_argument("--eval-interval", type=int, default=100_000)
     parser.add_argument("--outdir", default="results/trpo")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     env = make_env(args, args.seed)
@@ -72,6 +75,17 @@ def main():
         entropy_coef=0.0,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent,
         env,

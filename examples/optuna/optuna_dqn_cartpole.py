@@ -12,6 +12,13 @@ Requires ``optuna`` (optional dependency; the container may not ship it).
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import jax
 import optax
 
@@ -81,7 +88,38 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-trials", type=int, default=30)
     parser.add_argument("--steps", type=int, default=60_000)
+    add_demo_args(parser)
     args = parser.parse_args()
+
+    if args.demo or args.load:
+        # Demo/reload path: evaluate a saved train_state with the DEFAULT
+        # architecture (hidden 64 x 2 layers) — the checkpoint must match.
+        env = TimeLimit(CartPole(), 500)
+        core = DQNCore(
+            model=FCStateQFunctionWithDiscreteAction(
+                n_actions=2, n_hidden_channels=64, n_hidden_layers=2
+            ),
+            optimizer=optax.adam(1e-3),
+            explorer=explorers.ConstantEpsilonGreedy(0.0, 2),
+            gamma=0.99,
+        )
+        runner = OffPolicyRunner(
+            env,
+            core,
+            replay_buffers.ReplayBuffer(10**4, gamma=0.99, num_lanes=32),
+            RunnerConfig(
+                num_envs=32,
+                replay_start_size=1024,
+                update_interval=32,
+                target_update_interval=2048,
+                minibatch_size=64,
+            ),
+        )
+        state = runner.init(jax.random.PRNGKey(0))
+        state = maybe_load_train_state(state, args.load)
+        evaluator = JaxEvalLoop(env, core, num_episodes=10, max_steps=500)
+        if run_demo_if_requested(args, evaluator, state.train_state):
+            return
 
     study = optuna.create_study(
         direction="maximize",

@@ -13,6 +13,13 @@ Run:
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
+
 import jax
 import optax
 
@@ -30,7 +37,7 @@ def q_function():
     )
 
 
-def run_device(steps: int, seed: int):
+def run_device(steps: int, seed: int, args=None):
     # 2. The algorithm is a pure functional core...
     core = DQNCore(
         model=q_function(),
@@ -54,13 +61,20 @@ def run_device(steps: int, seed: int):
         ),
     )
     state = runner.init(jax.random.PRNGKey(seed))
+    evaluator = JaxEvalLoop(
+        TimeLimit(CartPole(), 500), core, num_episodes=10, max_steps=500
+    )
+    if args is not None:
+        state = maybe_load_train_state(state, args.load)
+        if run_demo_if_requested(args, evaluator, state.train_state, seed=seed):
+            return
     while int(state.t) < steps:
         state, _ = runner.run_chunk(state, 200)
         print(f"t={int(state.t):>7}  recent return {runner.recent_return_mean(state):6.1f}")
-    returns = JaxEvalLoop(
-        TimeLimit(CartPole(), 500), core, num_episodes=10, max_steps=500
-    ).evaluate(state.train_state, jax.random.PRNGKey(1))
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
     print("final eval returns:", returns)
+    if args is not None:
+        save_train_state_if_requested(state.train_state, args.save_to)
 
 
 def run_hostloop(steps: int, seed: int):
@@ -99,8 +113,9 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=100_000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--hostloop", action="store_true")
+    add_demo_args(parser)
     args = parser.parse_args()
     if args.hostloop:
         run_hostloop(args.steps, args.seed)
     else:
-        run_device(args.steps, args.seed)
+        run_device(args.steps, args.seed, args=args)

@@ -13,6 +13,8 @@ because observations are not pixels, gamma 0.98, Adam 1e-4.
 
 import argparse
 
+from pfrl_tpu.experiments.demo_cli import add_demo_args
+
 import flax.linen as nn
 import jax.numpy as jnp
 import optax
@@ -106,6 +108,7 @@ def main():
     parser.add_argument("--replay-start-size", type=int, default=1600)
     parser.add_argument("--eval-interval", type=int, default=100_000)
     parser.add_argument("--outdir", default="results/slimevolley_rainbow")
+    add_demo_args(parser, save=False)
     args = parser.parse_args()
 
     env = make_env(args.seed)
@@ -134,6 +137,17 @@ def main():
         target_update_interval=2000,
         seed=args.seed,
     )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=eval_env, agent=agent, n_steps=None, n_episodes=10
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
     experiments.train_agent_with_evaluation(
         agent,
         env,

@@ -41,6 +41,7 @@ from pfrl_tpu.agent import AttributeSavingMixin, BatchAgent
 from pfrl_tpu.ops.value_loss import compute_weighted_value_loss
 from pfrl_tpu.replay.transition import Transition, TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
 from pfrl_tpu.utils.stats import RunningStats
 
 
@@ -103,6 +104,7 @@ class DQNCore:
         target_update_method: str = "hard",
         soft_update_tau: float = 1e-2,
         phi: Callable = _identity,
+        compute_dtype: Optional[Any] = None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -113,6 +115,11 @@ class DQNCore:
         self.target_update_method = target_update_method
         self.soft_update_tau = soft_update_tau
         self.phi = phi
+        # Mixed precision (TPU-native; no reference counterpart): with
+        # compute_dtype=jnp.bfloat16 the network forward/backward runs in
+        # bf16 (params + activations cast at the apply boundary) while
+        # params, optimizer state, Q-values, and TD/loss math stay fp32.
+        self.compute_dtype = compute_dtype
 
     # ----------------------------------------------------------------- setup
     def _model_init_args(self, x):
@@ -139,7 +146,14 @@ class DQNCore:
 
     # ------------------------------------------------------------------- act
     def action_value(self, params, rng: jax.Array, obs):
-        return self.model.apply(params, self.phi(obs), rngs={"noise": rng})
+        av = self.model.apply(
+            cast_floating(params, self.compute_dtype),
+            cast_floating(self.phi(obs), self.compute_dtype),
+            rngs={"noise": rng},
+        )
+        # Q-values come back to fp32 so greedy/TD/loss math is full
+        # precision regardless of the compute dtype.
+        return cast_to_float32(av) if self.compute_dtype is not None else av
 
     def select_action(
         self, state: DQNState, rng: jax.Array, obs, t: jax.Array, training: bool
@@ -230,6 +244,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
         batch_accumulator: str = "mean",
         seed: int = 0,
         core_cls: Optional[type] = None,
+        compute_dtype: Optional[Any] = None,
     ):
         core_cls = core_cls or type(self).default_core
         self.core = core_cls(
@@ -242,6 +257,7 @@ class DQN(AttributeSavingMixin, BatchAgent):
             target_update_method=target_update_method,
             soft_update_tau=soft_update_tau,
             phi=phi,
+            compute_dtype=compute_dtype,
         )
         self.buffer = replay_buffer
         self.gamma = gamma

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from pfrl_tpu.agents.dqn import DQN, DQNCore
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
 from pfrl_tpu.ops.quantile import (
     eltwise_huber_quantile_loss,
 )
@@ -44,7 +45,13 @@ class IQNCore(DQNCore):
                 (jnp.arange(self.K, dtype=jnp.float32) + 0.5) / self.K,
                 (batch, self.K),
             )
-        return self.model.apply(params, x, taus, rngs={"noise": rng})
+        av = self.model.apply(
+            cast_floating(params, self.compute_dtype),
+            cast_floating(x, self.compute_dtype),
+            taus,
+            rngs={"noise": rng},
+        )
+        return cast_to_float32(av) if self.compute_dtype is not None else av
 
     def select_action(self, state, rng, obs, t, training: bool):
         rng_noise, rng_tau, rng_explore = jax.random.split(rng, 3)

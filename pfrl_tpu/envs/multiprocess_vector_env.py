@@ -11,13 +11,16 @@ the device.
 import multiprocessing as mp
 from multiprocessing.connection import Connection
 
-import cloudpickle
 import numpy as np
 
 from pfrl_tpu.env import VectorEnv
 
 
 def _worker(remote: Connection, env_fn_bytes: bytes) -> None:
+    # Lazy import: cloudpickle is only needed when this subprocess path is
+    # actually used — pure-JAX env users shouldn't fail at envs.__init__.
+    import cloudpickle
+
     env = cloudpickle.loads(env_fn_bytes)()
     try:
         while True:
@@ -46,6 +49,7 @@ def _worker(remote: Connection, env_fn_bytes: bytes) -> None:
 
 class MultiprocessVectorEnv(VectorEnv):
     def __init__(self, env_fns):
+        import cloudpickle
         nenvs = len(env_fns)
         # forkserver, NOT fork: this env is built AFTER jax import in every
         # real program, and forking a multithreaded process (jax runtime

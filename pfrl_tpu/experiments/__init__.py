@@ -11,6 +11,12 @@ from pfrl_tpu.experiments.evaluator import (
     eval_performance,
     run_evaluation_episodes,
 )
+from pfrl_tpu.experiments.demo_cli import (
+    add_demo_args,
+    maybe_load_train_state,
+    run_demo_if_requested,
+    save_train_state_if_requested,
+)
 from pfrl_tpu.experiments.hooks import LinearInterpolationHook, StepHook
 from pfrl_tpu.experiments.prepare_output_dir import prepare_output_dir
 from pfrl_tpu.experiments.onpolicy_runner import (
@@ -33,6 +39,10 @@ from pfrl_tpu.experiments.train_agent_batch import (
 )
 
 __all__ = [
+    "add_demo_args",
+    "maybe_load_train_state",
+    "run_demo_if_requested",
+    "save_train_state_if_requested",
     "EvaluationHook",
     "OptunaPrunerHook",
     "train_agent_async",

@@ -145,6 +145,9 @@ def _shm_views(buf, K, R, hw):
 
 def _env_worker(child_conn, shm_name, K, R, hw, env_factory, seed0):
     """Actor process: step K envs, move data via shm, tokens via pipe."""
+    envs, shm = [], None  # bound before the try: an early SharedMemory or
+    #                       env_factory failure must surface, not be masked
+    #                       by a NameError in the finally cleanup
     try:
         from multiprocessing import resource_tracker
 
@@ -214,10 +217,11 @@ def _env_worker(child_conn, shm_name, K, R, hw, env_factory, seed0):
                 e.close()
             except Exception:
                 pass
-        try:
-            shm.close()
-        except Exception:
-            pass
+        if shm is not None:
+            try:
+                shm.close()
+            except Exception:
+                pass
 
 
 class AtariActorLearnerPipeline:

@@ -193,9 +193,11 @@ class BatchedInferenceServer:
     def submit_batch(self, obs, training: bool):
         """Blocking act call for a row-batched observation ``obs[K, ...]``.
 
-        Every leaf must carry the same leading (row) dimension K — an
-        unbatched observation would otherwise be misread as K rows of its
-        first axis (e.g. an [84,84,4] frame as 84 requests).
+        Every leaf must carry the same leading (row) dimension K. Note the
+        check only catches multi-leaf mismatches and scalar leaves: a
+        SINGLE unbatched ndarray (e.g. one [84,84,4] frame) is
+        indistinguishable from 84 rows of [84,4] and will be split as
+        such — callers own the batching contract for one-leaf obs.
         """
         import jax
 

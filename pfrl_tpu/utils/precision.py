@@ -1,0 +1,43 @@
+"""Mixed-precision helpers: bf16 compute over fp32 master params.
+
+The TPU-native training recipe (no reference counterpart — pfrl trains
+fp32 on GPU): parameters, optimizer state, and loss math stay float32;
+the network forward/backward (where the MXU FLOPs are) runs in bfloat16
+by casting params and inputs at the apply boundary. Gradients are taken
+with respect to the float32 masters — the cast is part of the traced
+computation, so XLA emits bf16 convs/matmuls with fp32 accumulation and
+the optimizer sees full-precision updates.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_floating(tree: Any, dtype: Optional[Any]) -> Any:
+    """Cast floating-point leaves to ``dtype`` (None = no-op).
+
+    Non-float leaves (uint8 frames, int actions, bool flags) pass through.
+    """
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+        and jnp.result_type(x) != dtype
+        else x,
+        tree,
+    )
+
+
+def cast_to_float32(tree: Any) -> Any:
+    """Cast low-precision floating leaves back up to float32 (for loss
+    math, TD targets, and anything numerically delicate)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+        and jnp.result_type(x) != jnp.float32
+        else x,
+        tree,
+    )

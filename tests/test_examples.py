@@ -203,3 +203,78 @@ def test_dqn_pipeline_sim_example():
         timeout=900,
     )
     assert "env-steps/s" in out
+
+
+# ----------------------------------------------------------------- reload
+# Reference parity: examples_tests/*.sh always run train THEN a --demo
+# reload of the saved agent (e.g. examples_tests/atari/test_dqn.sh).
+
+_DEVICE_ROUNDTRIPS = [
+    (
+        "examples/gym/train_dqn_cartpole.py",
+        ["--steps", "2000", "--num-envs", "32", "--eval-interval", "2000",
+         "--replay-start-size", "256"],
+        ["--num-envs", "32"],
+    ),
+    (
+        "examples/gym/train_categorical_dqn_gym.py",
+        ["--steps", "2000", "--num-envs", "32", "--eval-interval", "2000",
+         "--replay-start-size", "256"],
+        ["--num-envs", "32"],
+    ),
+    (
+        "examples/atari/reproduction/dqn/train_dqn.py",
+        ["--sim", "--steps", "600", "--num-envs", "8",
+         "--replay-capacity", "2000", "--replay-start-size", "256",
+         "--target-update-interval", "512"],
+        ["--sim", "--num-envs", "8", "--replay-capacity", "2000",
+         "--replay-start-size", "256"],
+    ),
+    (
+        "examples/atari/reproduction/iqn/train_iqn.py",
+        ["--sim", "--steps", "600", "--num-envs", "8",
+         "--replay-capacity", "2000", "--replay-start-size", "256"],
+        ["--sim", "--num-envs", "8", "--replay-capacity", "2000",
+         "--replay-start-size", "256"],
+    ),
+    (
+        "examples/mujoco/reproduction/ppo/train_ppo.py",
+        ["--jax-env", "pendulum", "--steps", "5000", "--num-envs", "8"],
+        ["--jax-env", "pendulum", "--num-envs", "8"],
+    ),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "script,train_args,demo_args",
+    _DEVICE_ROUNDTRIPS,
+    ids=[s.split("/")[-1] for s, _, _ in _DEVICE_ROUNDTRIPS],
+)
+def test_train_then_demo_reload(tmp_path, script, train_args, demo_args):
+    ckpt = str(tmp_path / "ckpt")
+    run_example(script, train_args + ["--save-to", ckpt])
+    assert os.path.exists(os.path.join(ckpt, "train_state.msgpack"))
+    out = run_example(script, demo_args + ["--demo", "--load", ckpt])
+    assert "n_episodes:" in out and "mean:" in out
+
+
+@pytest.mark.slow
+def test_shell_train_then_demo_reload(tmp_path):
+    """Host-shell path: the driver saves <t>_finish via agent.save; --demo
+    reloads it through agent.load (the reference CLI contract)."""
+    import glob
+
+    outdir = str(tmp_path / "out")
+    run_example(
+        "examples/gym/train_ppo_pendulum.py",
+        ["--steps", "4200", "--num-envs", "4", "--eval-interval", "4000",
+         "--outdir", outdir],
+    )
+    finish = glob.glob(os.path.join(outdir, "*_finish"))
+    assert finish, os.listdir(outdir)
+    out = run_example(
+        "examples/gym/train_ppo_pendulum.py",
+        ["--demo", "--load", finish[0], "--num-envs", "4"],
+    )
+    assert "n_episodes:" in out and "mean:" in out

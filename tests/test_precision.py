@@ -1,0 +1,128 @@
+"""Mixed-precision (bf16 compute / fp32 masters) tests.
+
+TPU-native addition (no reference counterpart — pfrl trains fp32): the
+DQN-family cores accept ``compute_dtype=jnp.bfloat16``, casting params and
+activations at the model-apply boundary while params, optimizer state, and
+TD/loss math stay float32 (pfrl_tpu/utils/precision.py).
+"""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
+
+
+def test_cast_helpers_touch_only_floats():
+    tree = {
+        "w": jnp.ones((4, 4), jnp.float32),
+        "frames": jnp.ones((2,), jnp.uint8),
+        "n": jnp.ones((), jnp.int32),
+    }
+    lo = cast_floating(tree, jnp.bfloat16)
+    assert lo["w"].dtype == jnp.bfloat16
+    assert lo["frames"].dtype == jnp.uint8
+    assert lo["n"].dtype == jnp.int32
+    hi = cast_to_float32(lo)
+    assert hi["w"].dtype == jnp.float32
+    assert cast_floating(tree, None) is tree
+
+
+def _dqn_core(compute_dtype=None):
+    from pfrl_tpu.agents import DQNCore
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+
+    return DQNCore(
+        model=FCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_hidden_channels=64, n_hidden_layers=2
+        ),
+        optimizer=optax.adam(5e-3),
+        explorer=ConstantEpsilonGreedy(0.1, 2),
+        gamma=0.9,
+        compute_dtype=compute_dtype,
+    )
+
+
+def test_bf16_forward_parity_and_fp32_output():
+    """bf16 forward agrees with fp32 to bf16 tolerance; Q-values come back
+    fp32 so TD/loss math stays full precision."""
+    fp32 = _dqn_core(None)
+    bf16 = _dqn_core(jnp.bfloat16)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+    state = fp32.init(jax.random.PRNGKey(0), obs)
+    q_fp32 = fp32.action_value(state.params, jax.random.PRNGKey(2), obs).q_values
+    q_bf16 = bf16.action_value(state.params, jax.random.PRNGKey(2), obs).q_values
+    assert q_bf16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(q_fp32), np.asarray(q_bf16), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_bf16_masters_stay_fp32_after_update():
+    from pfrl_tpu.replay.transition import TransitionBatch
+
+    core = _dqn_core(jnp.bfloat16)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+    state = core.init(jax.random.PRNGKey(0), obs)
+    batch = TransitionBatch(
+        obs=obs,
+        action=jnp.zeros((8,), jnp.int32),
+        reward=jnp.ones((8,), jnp.float32),
+        next_obs=obs + 0.1,
+        discount=jnp.full((8,), 0.9),
+        is_terminal=jnp.zeros((8,), bool),
+        weight=jnp.ones((8,), jnp.float32),
+        indices=jnp.arange(8),
+    )
+    new_state, aux = core.update(state, jax.random.PRNGKey(3), batch)
+    for leaf in jax.tree.leaves(new_state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(new_state.opt_state):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(float(aux["loss"]))
+    # The update moved the params (the bf16 cast did not detach grads).
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)
+        )
+    )
+    assert moved
+
+
+def test_bf16_dqn_learns_abc():
+    """Curve-parity gate: DQN with bf16 compute solves the deterministic
+    ABC chain exactly like the fp32 matrix entry."""
+    from pfrl_tpu.envs import ABC
+    from pfrl_tpu.experiments.runner import (
+        JaxEvalLoop,
+        OffPolicyRunner,
+        RunnerConfig,
+    )
+    from pfrl_tpu.replay import ReplayBuffer
+
+    env = ABC(size=2, deterministic=True)
+    core = _dqn_core(jnp.bfloat16)
+    runner = OffPolicyRunner(
+        env,
+        core,
+        ReplayBuffer(2000, gamma=0.9, num_lanes=16),
+        RunnerConfig(
+            num_envs=16,
+            replay_start_size=128,
+            update_interval=16,
+            target_update_interval=128,
+            minibatch_size=16,
+        ),
+    )
+    state = runner.init(jax.random.PRNGKey(0))
+    state, _ = runner.run_chunk(state, 400)
+    evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=3)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+    assert np.all(returns >= 1.0), returns

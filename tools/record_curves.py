@@ -94,8 +94,12 @@ def _curve_loop(
 
     from pfrl_tpu.replay.persistent import load_state, save_state
 
+    import json
+
     outdir = os.path.join(REPO, "benchmarks/curves", name)
     resume_path = os.path.join(outdir, ".resume.msgpack")
+    best_path = os.path.join(outdir, ".resume.best.msgpack")
+    best_meta_path = os.path.join(outdir, ".resume.best.json")
     state = runner.init(jax.random.PRNGKey(seed))
     resuming = os.path.exists(resume_path)
     if resuming:
@@ -104,6 +108,13 @@ def _curve_loop(
     writer = ScoreWriter(outdir, resume=resuming)
     step = run_chunk or (lambda s: runner.run_chunk(s, eval_every // runner.config.num_envs)[0])
     best, best_state = float("-inf"), jax.device_get(state.train_state)
+    if resuming and os.path.exists(best_path) and os.path.exists(best_meta_path):
+        # A resumed run must not let a worse post-crash snapshot clobber
+        # the pre-crash best zoo checkpoint (ADVICE r3).
+        with open(best_meta_path) as f:
+            best = float(json.load(f)["best"])
+        best_state = load_state(best_state, best_path)
+        print(f"{name}: restored best eval mean {best:.1f}", flush=True)
     while int(state.t) < steps:
         state = step(state)
         t = int(state.t)
@@ -114,12 +125,16 @@ def _curve_loop(
         save_state(host_state, resume_path)
         if mean > best:
             best, best_state = mean, host_state.train_state
+            save_state(best_state, best_path)
+            with open(best_meta_path, "w") as f:
+                json.dump({"best": best}, f)
         if successful_score is not None and mean >= successful_score:
             print(f"{name}: successful_score {successful_score} reached", flush=True)
             break
     if zoo_entry is not None:
         save_zoo(best_state, *zoo_entry)
-    os.path.exists(resume_path) and os.remove(resume_path)
+    for p in (resume_path, best_path, best_meta_path):
+        os.path.exists(p) and os.remove(p)
     return best
 
 
