@@ -77,10 +77,16 @@ def run_sim(args):
     # Single frame (channel=1): recurrence must carry the temporal context.
     env = AtariSim(n_actions=n_actions, frame_shape=(84, 84, 1))
     core = build_core(n_actions, args)
+    # Chunked episode storage (rows of --max-episode-chunk steps; long
+    # episodes span rows) with random-offset windows of
+    # --episodic-update-len steps warm-started from stored carries —
+    # reference semantics (pfrl/replay_buffer.py:149-154 random_subseq +
+    # pfrl/agents/dqn.py:533-543 recurrent_state snapshots).
     buffer = EpisodicReplayBuffer(
         max_episodes=args.max_episodes,
-        max_episode_len=args.episodic_update_len,
+        max_episode_len=args.max_episode_chunk,
         num_lanes=args.num_envs,
+        subseq_len=args.episodic_update_len,
     )
     runner = OffPolicyRunner(
         env,
@@ -123,6 +129,9 @@ def main():
     parser.add_argument("--max-episodes", type=int, default=2048)
     parser.add_argument("--episodic-update-len", type=int, default=32,
                         help="truncated-BPTT window (ppo.py:145-154 analog)")
+    parser.add_argument("--max-episode-chunk", type=int, default=128,
+                        help="storage row length; longer episodes chunk "
+                        "into fresh rows (nothing is truncated)")
     parser.add_argument("--replay-start-size", type=int, default=10**4)
     parser.add_argument("--update-interval", type=int, default=4)
     parser.add_argument("--target-update-interval", type=int, default=10**4)

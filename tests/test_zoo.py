@@ -127,3 +127,75 @@ def test_load_zoo_c51_and_eval():
         jax.device_put(state), jax.random.PRNGKey(1)
     )
     assert returns.mean() >= 300, returns
+
+
+def test_round4_zoo_entries_resolve():
+    """Round-4 curves added iqn/td3/trpo/acer and the delayed-cue DRQN."""
+    from pfrl_tpu.utils.pretrained_models import download_model, list_local_models
+
+    models = list_local_models()
+    for name in (
+        "iqn/cartpole",
+        "td3/pendulum",
+        "trpo/pendulum",
+        "acer/abc",
+        "drqn/delayed_cue",
+    ):
+        assert name in models, models
+        alg, env = name.split("/")
+        path, exists = download_model(alg, env, model_type="best")
+        assert exists and os.path.isfile(
+            os.path.join(path, "train_state.msgpack")
+        )
+
+
+def test_load_zoo_drqn_delayed_cue_and_eval():
+    """Restore the delayed-cue DRQN checkpoint: greedy eval must still
+    recall the cue across the reveal->reward gap (mean return 1.0) — the
+    workload that REQUIRES random-offset subsequence replay."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.action_value import DiscreteActionValue
+    from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    class RQ(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            q = nn.Dense(2)(h)
+            return DiscreteActionValue(q_values=q), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    path, exists = download_model("drqn", "delayed_cue", model_type="best")
+    assert exists
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentDQNCore(
+        model=RQ(),
+        optimizer=optax.adam(5e-3),
+        explorer=ConstantEpsilonGreedy(0.0, 2),
+        gamma=0.95,
+    )
+    state = core.init(jax.random.PRNGKey(0), np.zeros((1, 13), np.float32))
+    state = load_state(
+        jax.device_get(state), os.path.join(path, "train_state.msgpack")
+    )
+    returns = JaxEvalLoop(env, core, num_episodes=16, max_steps=12).evaluate(
+        jax.device_put(state), jax.random.PRNGKey(1)
+    )
+    assert returns.mean() >= 1.0, returns

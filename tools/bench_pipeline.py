@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""End-to-end host-env actor-learner pipeline throughput (VERDICT r2 #1).
+"""End-to-end host-env actor-learner pipeline throughput + topology sweep.
 
 Measures the full ALE-shaped host loop on the device-resident pipeline
 (pfrl_tpu/parallel/atari_pipeline.py): spawned actor processes step
@@ -13,10 +13,14 @@ batch-32 update per 4 acted transitions (Nature-DQN cadence).
 Gates (BASELINE.md / VERDICT r2): env_steps_per_sec >= 1,600 AND
 updates_per_sec >= env_steps_per_sec / 4 (>= 400 at the gate rate).
 
-Writes PIPELINE_r03.json at the repo root.
+Modes:
+  python tools/bench_pipeline.py                      # single config
+  python tools/bench_pipeline.py --sweep              # actors x lanes grid
+                                                      #  (VERDICT r3 weak #4)
 
-Usage: python tools/bench_pipeline.py [--workers 3] [--lanes 96]
-                                      [--seconds 30]
+The sweep merges into PIPELINE_r04.json incrementally (resumable: done
+configs are skipped on rerun — the TPU tunnel can wedge mid-sweep) and
+records the best config under "best".
 """
 
 import argparse
@@ -27,6 +31,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+OUT_PATH = os.path.join(REPO, "PIPELINE_r04.json")
 
 
 def bench_frame_pipeline(seconds=3.0):
@@ -45,34 +51,16 @@ def bench_frame_pipeline(seconds=3.0):
     return n / (time.time() - t0)
 
 
-def main():
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--workers", type=int, default=3,
-                        help="actor processes (container has 2 cores)")
-    parser.add_argument("--lanes", type=int, default=96,
-                        help="env lanes per actor process")
-    parser.add_argument("--seconds", type=float, default=30.0)
-    parser.add_argument("--burst", type=int, default=64,
-                        help="learner updates fused per dispatch")
-    args = parser.parse_args()
-
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-    import jax
+def _make_core():
     import optax
     import flax.linen as nn
 
     from pfrl_tpu.agents import DQNCore
-    from pfrl_tpu.envs.synthetic_ale import make_warped
     from pfrl_tpu.explorers import LinearDecayEpsilonGreedy
     from pfrl_tpu.models import LargeAtariCNN
-    from pfrl_tpu.parallel.atari_pipeline import AtariActorLearnerPipeline
     from pfrl_tpu.q_functions import DiscreteActionValueHead
     from pfrl_tpu.utils import atari_phi
 
-    fps = bench_frame_pipeline()
     n_actions = 6
 
     class NatureQ(nn.Module):
@@ -81,7 +69,7 @@ def main():
             h = LargeAtariCNN()(x)
             return DiscreteActionValueHead()(nn.Dense(n_actions)(h))
 
-    core = DQNCore(
+    return DQNCore(
         model=NatureQ(),
         optimizer=optax.rmsprop(2.5e-4, decay=0.95, eps=1e-2),
         explorer=LinearDecayEpsilonGreedy(1.0, 0.1, 10**6, n_actions),
@@ -89,66 +77,122 @@ def main():
         batch_accumulator="sum",
         phi=atari_phi,
     )
+
+
+def run_config(workers, lanes, seconds, burst=64):
+    from pfrl_tpu.envs.synthetic_ale import make_warped
+    from pfrl_tpu.parallel.atari_pipeline import AtariActorLearnerPipeline
+
     pipe = AtariActorLearnerPipeline(
-        core=core,
+        core=_make_core(),
         env_factory=make_warped,
-        n_workers=args.workers,
-        lanes_per_worker=args.lanes,
-        capacity=200_000,          # single planes: 4x cheaper per row
+        n_workers=workers,
+        lanes_per_worker=lanes,
+        capacity=50_000,  # small ring: identical throughput math, and
+        #                   multi-GB allocations wedge a degraded tunnel
         minibatch_size=32,
         update_interval=4,
         target_update_interval=10_000,
         replay_start_size=2_000,
-        burst=args.burst,
+        burst=burst,
     )
     pipe.start()
     try:
-        # Warm up until the learner is actually running (first burst done).
-        deadline = time.time() + 600
+        deadline = time.time() + 420
         last = time.time()
-        while pipe.optim_t < args.burst and time.time() < deadline:
+        while pipe.optim_t < burst and time.time() < deadline:
             if pipe.exception_event.is_set():
                 raise RuntimeError("pipeline failed during warmup")
             if time.time() - last > 15:
-                print(f"warmup: {pipe.acted_steps} steps,"
+                print(f"  warmup: {pipe.acted_steps} steps,"
                       f" {pipe.optim_t} updates", flush=True)
                 last = time.time()
             time.sleep(0.5)
+        if pipe.optim_t < burst:
+            raise RuntimeError("warmup timed out")
         s0, u0, t0 = pipe.acted_steps, pipe.optim_t, time.time()
-        time.sleep(args.seconds)
+        time.sleep(seconds)
         steps = pipe.acted_steps - s0
         updates = pipe.optim_t - u0
         elapsed = time.time() - t0
     finally:
         pipe.stop()
-
-    sps = steps / elapsed
-    ups = updates / elapsed
-    out = {
+    sps, ups = steps / elapsed, updates / elapsed
+    return {
+        "actors": workers,
+        "lanes_per_actor": lanes,
+        "total_lanes": workers * lanes,
         "env_steps_per_sec": round(sps, 1),
         "updates_per_sec": round(ups, 1),
-        "frame_pipeline_fps_single_thread": round(fps, 1),
-        "actors": args.workers,
-        "lanes_per_actor": args.lanes,
         "seconds": round(elapsed, 1),
-        "updates_done": int(updates),
         "meets_device_act_rate": sps >= 1600.0,
         "meets_learner_rate": ups >= min(sps, 1600.0) / 4.0,
-        "topology": "SyntheticALE(210x160x3) -> MaxAndSkip+WarpFrame(C++)"
-        " -> spawned actor processes (K lanes each, shm planes)"
-        " -> device act-stage (on-device FrameStack + replay staging)"
-        " -> committer -> burst learner(batch 32, per-4-transitions)",
-        "backend": jax.default_backend(),
-        "note": "Per-transition H2D is one 7KB uint8 plane: frame stacking"
-        " and replay staging run inside the act dispatch on device"
-        " (atari_pipeline.py); the learner fuses "
-        f"{args.burst} updates per dispatch.",
     }
-    with open(os.path.join(REPO, "PIPELINE_r03.json"), "w") as f:
+
+
+def _load():
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            return json.load(f)
+    return {"grid": []}
+
+
+def _save(out):
+    with open(OUT_PATH, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out), flush=True)
-    if pipe.exception_event.is_set():
-        sys.exit(1)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--workers", type=int, default=3)
+    parser.add_argument("--lanes", type=int, default=96)
+    parser.add_argument("--seconds", type=float, default=30.0)
+    parser.add_argument("--burst", type=int, default=64)
+    parser.add_argument("--sweep", action="store_true",
+                        help="actors in {2,3,4,6} x lanes in {32,64,96,128}")
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+
+    out = _load()
+    out["backend"] = jax.default_backend()
+    out["topology"] = (
+        "SyntheticALE(210x160x3) -> MaxAndSkip+WarpFrame(C++) -> spawned "
+        "actor processes (K lanes each, shm planes) -> device act-stage "
+        "(on-device FrameStack + replay staging) -> committer -> burst "
+        "learner(batch 32, per-4-transitions)"
+    )
+    if "frame_pipeline_fps_single_thread" not in out:
+        out["frame_pipeline_fps_single_thread"] = round(bench_frame_pipeline(), 1)
+        _save(out)
+
+    if args.sweep:
+        grid = [(w, l) for w in (2, 3, 4, 6) for l in (32, 64, 96, 128)]
+        done = {(g["actors"], g["lanes_per_actor"]) for g in out["grid"]}
+        for w, l in grid:
+            if (w, l) in done:
+                print(f"skip done: {w} actors x {l} lanes", flush=True)
+                continue
+            print(f"config: {w} actors x {l} lanes", flush=True)
+            try:
+                row = run_config(w, l, args.seconds)
+            except Exception as e:  # keep the sweep going past one wedge
+                row = {"actors": w, "lanes_per_actor": l, "error": str(e)}
+            out["grid"].append(row)
+            ok_rows = [g for g in out["grid"] if "error" not in g]
+            if ok_rows:
+                out["best"] = max(ok_rows, key=lambda g: g["env_steps_per_sec"])
+            _save(out)
+            print(json.dumps(row), flush=True)
+    else:
+        row = run_config(args.workers, args.lanes, args.seconds, args.burst)
+        out["single"] = row
+        _save(out)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
