@@ -230,6 +230,8 @@ _DEVICE_ROUNDTRIPS = [
         ["--sim", "--num-envs", "8", "--replay-capacity", "2000",
          "--replay-start-size", "256"],
     ),
+    # IQN's quantile-net compile is the heaviest of the set — on a busy
+    # 2-core box the train+demo pair can exceed the default 500s.
     (
         "examples/atari/reproduction/iqn/train_iqn.py",
         ["--sim", "--steps", "600", "--num-envs", "8",
@@ -253,9 +255,9 @@ _DEVICE_ROUNDTRIPS = [
 )
 def test_train_then_demo_reload(tmp_path, script, train_args, demo_args):
     ckpt = str(tmp_path / "ckpt")
-    run_example(script, train_args + ["--save-to", ckpt])
+    run_example(script, train_args + ["--save-to", ckpt], timeout=900)
     assert os.path.exists(os.path.join(ckpt, "train_state.msgpack"))
-    out = run_example(script, demo_args + ["--demo", "--load", ckpt])
+    out = run_example(script, demo_args + ["--demo", "--load", ckpt], timeout=900)
     assert "n_episodes:" in out and "mean:" in out
 
 

@@ -170,6 +170,22 @@ def main():
         out["frame_pipeline_fps_single_thread"] = round(bench_frame_pipeline(), 1)
         _save(out)
 
+    # Annotate the capture's tunnel window: degraded windows (~1 ms+
+    # dispatch floor vs ~30 µs good) deflate every row ~2-3x.
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(())
+    float(np.asarray(f(x)))
+    floor = float("inf")
+    for _ in range(20):
+        t0 = time.time()
+        float(np.asarray(f(x)))
+        floor = min(floor, time.time() - t0)
+    out.setdefault("dispatch_floor_us_per_run", []).append(round(floor * 1e6, 1))
+    _save(out)
+
     if args.sweep:
         grid = [(w, l) for w in (2, 3, 4, 6) for l in (32, 64, 96, 128)]
         done = {(g["actors"], g["lanes_per_actor"]) for g in out["grid"]}

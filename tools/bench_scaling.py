@@ -8,8 +8,9 @@ achieved-FLOP/s / MFU estimate per config — answering "is the framework
 or the workload the limit": throughput should rise with lanes until the
 chip saturates, and MFU should rise with batch (bigger matmuls).
 
-Writes SCALING_r03.json at the repo root:
-  {"rows": [{lanes, batch, steps_per_sec, updates_per_sec,
+Writes SCALING_r04.json at the repo root (rows carry a "dtype"
+field: fp32 vs bf16-compute-over-fp32-masters):
+  {"rows": [{lanes, batch, dtype, steps_per_sec, updates_per_sec,
              achieved_tflops, mfu_pct}, ...],
    "mfu_note": "...", "backend": "tpu"}
 
@@ -17,6 +18,7 @@ Resumable: rerun after a tunnel wedge and completed configs are skipped;
 --config "lanes,batch" measures one cell.
 
 Usage: python tools/bench_scaling.py [--seconds 8] [--config 64,32]
+                                     [--dtype fp32|bf16]
 """
 
 import argparse
@@ -32,7 +34,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-LANES = [16, 32, 64, 128, 256, 512]
+# r04 grid: the r03 full-lane sweep (SCALING_r03.json) already mapped the
+# lane axis; r04 keeps three lane points and adds the fp32/bf16 axis.
+LANES = [64, 256, 512]
 BATCHES = [32, 128, 512]
 PEAK_BF16 = 197e12  # TPU v5 lite public spec
 
@@ -47,9 +51,10 @@ FWD_FLOPS = 2 * (
 )
 
 
-def measure(num_envs, minibatch, seconds):
+def measure(num_envs, minibatch, seconds, dtype="fp32"):
     import flax.linen as nn
     import jax
+    import jax.numpy as jnp
     import numpy as np
     import optax
 
@@ -75,6 +80,7 @@ def measure(num_envs, minibatch, seconds):
         gamma=0.99,
         batch_accumulator="sum",
         phi=atari_phi,
+        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
     )
     cfg = RunnerConfig(
         num_envs=num_envs,
@@ -125,6 +131,8 @@ def measure(num_envs, minibatch, seconds):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seconds", type=float, default=8.0)
+    parser.add_argument("--dtype", choices=["fp32", "bf16"], default=None,
+                        help="measure one precision only (default: both)")
     parser.add_argument(
         "--config",
         default=None,
@@ -134,7 +142,7 @@ def main():
 
     import jax
 
-    path = os.path.join(REPO, "SCALING_r03.json")
+    path = os.path.join(REPO, "SCALING_r04.json")
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
@@ -156,19 +164,22 @@ def main():
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
 
-    def record(lanes, batch):
+    def record(lanes, batch, dtype):
         if any(
-            r["lanes"] == lanes and r["batch"] == batch for r in out["rows"]
+            r["lanes"] == lanes and r["batch"] == batch
+            and r.get("dtype", "fp32") == dtype
+            for r in out["rows"]
         ):
-            print(f"skip lanes={lanes} batch={batch} (already recorded)")
+            print(f"skip lanes={lanes} batch={batch} {dtype} (already recorded)")
             return
-        sps = measure(lanes, batch, args.seconds)
+        sps = measure(lanes, batch, args.seconds, dtype)
         # Per env transition: one act forward + (1/4 update) x batch x
         # 4-fwd-equivalents = fwd x (1 + batch).
         achieved = sps * FWD_FLOPS * (1 + batch)
         row = {
             "lanes": lanes,
             "batch": batch,
+            "dtype": dtype,
             "steps_per_sec": round(sps, 1),
             "updates_per_sec": round(sps / 4, 1),
             "achieved_tflops": round(achieved / 1e12, 3),
@@ -178,14 +189,17 @@ def main():
         print(json.dumps(row), flush=True)
         flush()
 
+    dtypes = [args.dtype] if args.dtype else ["fp32", "bf16"]
     if args.config:
         lanes, batch = (int(v) for v in args.config.split(","))
-        record(lanes, batch)
+        for dt in dtypes:
+            record(lanes, batch, dt)
         return
 
     for batch in BATCHES:
         for lanes in LANES:
-            record(lanes, batch)
+            for dt in dtypes:  # interleave precisions inside one window
+                record(lanes, batch, dt)
     print(json.dumps(out), flush=True)
 
 
