@@ -28,11 +28,11 @@ window swung the r03 dqn capture 2.6x — the spread makes that visible.
 The dqn anchor also reports achieved FLOP/s (XLA cost model of the compiled
 chunk / wall time) and MFU vs the chip's public bf16 peak.
 
-``pallas_ab`` reports the replay-kernel A/B (VERDICT r1 item 1): fused
-Pallas gather+dequantize vs the XLA gather path, and the streaming PER
-prefix-sample kernel vs the tree descent, at the Atari configuration.
-(Measured: XLA wins at these shapes, so the buffers default to XLA and the
-Pallas kernels are explicit opt-in — see pfrl_tpu/ops/pallas_kernels.py.)
+``pallas_ab`` reports the surviving replay-kernel A/B: the streaming PER
+prefix-sample Pallas kernel vs the XLA tree descent at the Atari
+configuration (the row-gather and fused kernels were cut in round 4 after
+three rounds of losing/tying their A/Bs — pfrl_tpu/ops/pallas_kernels.py
+records the measured verdict; the buffer default remains XLA).
 
 A watchdog guards against the TPU tunnel's known hang mode: if the bench
 cannot finish in time it emits whatever anchors completed (value 0 if none)
@@ -494,13 +494,9 @@ def bench_pallas_ab():
         return
 
     batch = 32
-    # Gather: 100k-row uint8 ring at the real item shape (221x128 = padded
-    # 84*84*4 frame stack).
-    cap, rows = 100_000, 221
-    storage = jnp.ones((cap, rows, 128), jnp.uint8)
-    flat = storage.reshape(cap, rows * 128)
-    ids = jnp.arange(batch, dtype=jnp.int32) * 771
-    # PER: 131072-leaf tree; fused kernel uses an 8-aligned 224-row ring.
+    # PER sampling at the 131072-leaf Atari-scale tree — the one surviving
+    # Pallas kernel (the gather and fused kernels were cut in round 4;
+    # pfrl_tpu/ops/pallas_kernels.py records the measured verdict).
     cap_t = 131_072
     prio = jax.random.uniform(jax.random.PRNGKey(0), (cap_t,)) + 0.01
     tree = sum_tree.update(sum_tree.init_tree(cap_t), jnp.arange(cap_t), prio)
@@ -508,16 +504,8 @@ def bench_pallas_ab():
     targets = jax.random.uniform(
         jax.random.PRNGKey(1), (batch,), maxval=float(sum_tree.total(tree)) * 0.999
     )
-    storage_t = jnp.ones((cap_t, 224, 128), jnp.uint8)
-    flat_t = storage_t.reshape(cap_t, 224 * 128)
-
-    def composite(tree, targets, flat):
-        ids = sum_tree.sample_from_prefix(tree, targets)
-        return ids, flat[ids].astype(jnp.float32) * (1 / 255.0)
 
     jit_descent = jax.jit(sum_tree.sample_from_prefix)
-    jit_comp = jax.jit(composite)
-    jit_xgather = jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0))
 
     def _force(out):
         """Force a real value readback (block_until_ready can acknowledge
@@ -526,22 +514,14 @@ def bench_pallas_ab():
         np.asarray(leaf)
 
     fns = {
-        "gather_pallas": lambda: pk.gather_rows_dequantize_pallas(
-            storage, ids, scale=1 / 255.0, out_dtype=jnp.float32
-        ),
-        "gather_xla": lambda: jit_xgather(flat, ids),
         "prefix_pallas": lambda: pk.prefix_sample_pallas(leaves, targets),
         "prefix_descent": lambda: jit_descent(tree, targets),
-        "fused_pallas": lambda: pk.per_sample_gather_dequantize_pallas(
-            leaves, targets, storage_t, scale=1 / 255.0
-        ),
-        "fused_xla_composite": lambda: jit_comp(tree, targets, flat_t),
     }
     for f in fns.values():
         _force(f())  # compile outside timing
 
     res = {k: [] for k in fns}
-    for _ in range(3):
+    for _ in range(5):
         for k, fn in fns.items():
             _force(fn())
             t0 = time.time()
@@ -551,16 +531,9 @@ def bench_pallas_ab():
             res[k].append((time.time() - t0) / 20 * 1e6)
     best = {k: round(min(v), 1) for k, v in res.items()}
     _RESULTS["pallas_ab"] = {
-        "gather_dequant_us": {
-            "pallas": best["gather_pallas"], "xla": best["gather_xla"]
-        },
         "per_prefix_sample_us": {
             "pallas": best["prefix_pallas"],
             "xla_descent": best["prefix_descent"],
-        },
-        "fused_sample_gather_dequant_us": {
-            "pallas": best["fused_pallas"],
-            "xla_composite": best["fused_xla_composite"],
         },
     }
 

@@ -54,6 +54,7 @@ def make_agent_config(n_actions, args):
         gamma=0.99,
         batch_accumulator="sum",
         phi=phi,
+        compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else None,
     )
 
 
@@ -173,6 +174,8 @@ def main():
     parser.add_argument("--final-epsilon", type=float, default=0.1)
     parser.add_argument("--final-exploration-frames", type=int, default=10**6)
     parser.add_argument("--max-frames", type=int, default=30 * 60 * 60)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--outdir", default="results/dqn")
     add_demo_args(parser)
     args = parser.parse_args()

@@ -45,11 +45,15 @@ def main():
     parser.add_argument("--minibatch-size", type=int, default=128)
     parser.add_argument("--update-per", type=int, default=32,
                         help="one gradient step per this many env transitions")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser)
     args = parser.parse_args()
 
     env = TimeLimit(CartPole())
     n_actions = env.action_space.n
+
+    import jax.numpy as jnp
 
     core = DQNCore(
         model=FCStateQFunctionWithDiscreteAction(
@@ -58,6 +62,7 @@ def main():
         optimizer=optax.adam(args.lr),
         explorer=LinearDecayEpsilonGreedy(1.0, 0.05, args.steps // 2, n_actions),
         gamma=args.gamma,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     cfg = RunnerConfig(
         num_envs=args.num_envs,

@@ -28,6 +28,7 @@ from flax import struct
 from pfrl_tpu.agents.dqn import DQNCore, DQNState, _identity
 from pfrl_tpu.ops.value_loss import huber_loss
 from pfrl_tpu.replay.episodic import EpisodeBatch
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
 from pfrl_tpu.utils.pytree import tree_where
 
 
@@ -63,8 +64,17 @@ class RecurrentDQNCore(DQNCore):
     ):
         rng_noise, rng_explore = jax.random.split(rng)
         av, new_carry = self.model.apply(
-            state.params, self.phi(obs), carry, rngs={"noise": rng_noise}
+            cast_floating(state.params, self.compute_dtype),
+            cast_floating(self.phi(obs), self.compute_dtype),
+            carry,
+            rngs={"noise": rng_noise},
         )
+        if self.compute_dtype is not None:
+            # Q-values back to fp32; the carry stays fp32 because the model
+            # received an fp32 carry (LSTM state promotes to the widest
+            # input) — stored snapshots remain full precision either way.
+            av = cast_to_float32(av)
+            new_carry = cast_to_float32(new_carry)
         greedy = av.greedy_actions()
         if not training:
             return greedy, new_carry
@@ -86,10 +96,18 @@ class RecurrentDQNCore(DQNCore):
         if carry0 is None:
             carry0 = self.initial_carry(B)
 
+        p = cast_floating(params, self.compute_dtype)
+
         def body(carry, x):
             av, carry = self.model.apply(
-                params, self.phi(x), carry, rngs={"noise": rng}
+                p,
+                cast_floating(self.phi(x), self.compute_dtype),
+                carry,
+                rngs={"noise": rng},
             )
+            if self.compute_dtype is not None:
+                av = cast_to_float32(av)
+                carry = cast_to_float32(carry)
             return carry, av
 
         _, avs = jax.lax.scan(body, carry0, xs)

@@ -16,6 +16,7 @@ from pfrl_tpu.agents.dqn import DQNState
 from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
 from pfrl_tpu.ops.quantile import eltwise_huber_quantile_loss
 from pfrl_tpu.replay.episodic import EpisodeBatch
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
 
 
 class RecurrentIQNCore(RecurrentDQNCore):
@@ -69,8 +70,15 @@ class RecurrentIQNCore(RecurrentDQNCore):
                 (batch, self.K),
             )
         av, new_carry = self.model.apply(
-            state.params, x, taus, carry, rngs={"noise": rng_noise}
+            cast_floating(state.params, self.compute_dtype),
+            cast_floating(x, self.compute_dtype),
+            taus,
+            carry,
+            rngs={"noise": rng_noise},
         )
+        if self.compute_dtype is not None:
+            av = cast_to_float32(av)
+            new_carry = cast_to_float32(new_carry)
         greedy = av.greedy_actions()
         if not training:
             return greedy, new_carry
@@ -92,12 +100,21 @@ class RecurrentIQNCore(RecurrentDQNCore):
         if carry0 is None:
             carry0 = self.initial_carry(B)
 
+        p = cast_floating(params, self.compute_dtype)
+
         def body(carry, inp):
             x, tau_rng = inp
             taus = jax.random.uniform(tau_rng, (B, n_taus))
             av, carry = self.model.apply(
-                params, self.phi(x), taus, carry, rngs={"noise": rng}
+                p,
+                cast_floating(self.phi(x), self.compute_dtype),
+                taus,
+                carry,
+                rngs={"noise": rng},
             )
+            if self.compute_dtype is not None:
+                av = cast_to_float32(av)
+                carry = cast_to_float32(carry)
             return carry, (av.quantiles, taus)
 
         _, (quantiles, taus) = jax.lax.scan(body, carry0, (xs, tau_rngs))

@@ -1,46 +1,42 @@
-"""Pallas TPU kernels for the replay hot path.
+"""Pallas TPU kernel for the PER sampling hot path.
 
-Two ops sit between the replay ring in HBM and the MXU every update:
+One op survives here: **prefix-sum sampling** over the dense PER
+priorities (:mod:`pfrl_tpu.replay.sum_tree`). The pure-XLA descent is
+``log2(capacity)`` *dependent* [B]-gathers, each a round trip to the HBM
+tree; the Pallas kernel streams the flat priority array through VMEM in
+one launch, fusing the cumsum and the per-target counting (MXU triangular
+matmuls — Mosaic has no cumsum primitive).
 
-* **minibatch gather + dequantize** — sample ``B`` uint8 frame rows from the
-  ``[capacity, D]`` ring and emit the network input ``phi(x) = x/255`` in
-  float32/bfloat16. XLA lowers this as a gather kernel writing a uint8
-  minibatch to HBM, then a separate convert fused into the conv; the Pallas
-  version is one kernel: per-row HBM->VMEM DMAs selected by a prefetched
-  index vector (``PrefetchScalarGridSpec``), dequantized in VMEM on the way
-  out, with the grid pipeline double-buffering the row DMAs.
-
-* **prefix-sum descent** over the dense PER sum tree
-  (:mod:`pfrl_tpu.replay.sum_tree`). The pure-XLA descent is
-  ``log2(capacity)`` *dependent* [B]-gathers, each a round trip to the HBM
-  tree; the Pallas kernel holds the whole tree in VMEM (8 MB at the 1M-slot
-  Atari configuration — within the ~16 MB budget) and runs the full descent
-  in one kernel launch.
-
-Both have pure-jax reference implementations (the ones the rest of the
-framework uses by default); ``*_pallas`` variants run compiled on TPU and in
-interpreter mode elsewhere, so CPU tests exercise the same kernel code the
-TPU runs. Reference behavior being replaced: the torch ``.sample`` +
-``batch_states``/``phi`` pipeline (pfrl/replay_buffer.py:157-212,
-pfrl/agents/dqn.py:475-488) and the pointer sum-tree descent
+It has a pure-jax reference implementation (the one the PER buffer uses by
+default); ``prefix_sample_pallas`` runs compiled on TPU and in interpreter
+mode elsewhere, so CPU tests exercise the same kernel code the TPU runs.
+Reference behavior being replaced: the pointer sum-tree descent
 (pfrl/collections/prioritized.py:126-232).
 
-A third kernel fuses the whole PER hot path — prefix sample + row gather
-+ dequantize — into one launch (:func:`per_sample_gather_dequantize_pallas`);
-see its section comment for why XLA cannot fuse across that boundary.
-
-Measured verdict (TPU v5e via tunnel; bench.py pallas_ab interleaves the
+Measured verdict (TPU v5e via tunnel; bench.py's pallas_ab interleaves the
 alternatives and takes min-of-rounds because the tunnel's per-dispatch
-latency drifts between ~30 µs and ~1 ms windows): standalone gather and
-prefix-sample are dispatch-floor-bound on both paths (~30-45 µs — a wash);
-the win case is the FUSED kernel vs the XLA composite, where the
-composite pays the 17-level dependent tree descent (~600 µs serialized
-round trips) that the streaming kernel replaces with one linear pass.
-Inside the fused training scan the pallas custom-call defeats XLA's
-aliasing of the multi-GB replay ring (measured 67x end-to-end regression
-in r1), so the replay buffers keep defaulting to the XLA paths
-(``use_pallas="auto"``) and take these kernels only on explicit
-``use_pallas=True``.
+latency is bimodal): the streaming kernel beats the 17-level tree descent
+by a small, reproducible margin in good-window captures — 1,372 vs
+1,430 µs (BENCH_r03) and 1,422 vs 1,497 µs (BENCH_LATEST r03), ~4-5%,
+ties inside degraded windows. It stays **off by default**
+(``use_pallas="auto"`` = XLA) and is explicit opt-in.
+
+Two further kernels were built in rounds 1-3 and CUT in round 4 on the
+accumulated evidence (VERDICT r3 item 4: "win >= 1.3x or delete"):
+
+* a row gather + dequantize (``gather_rows_dequantize_pallas``) — lost to
+  the XLA gather ~3x in every capture (5.6k vs 15-18k µs at the 100k-row
+  Atari ring); XLA's gather kernel is already bandwidth-optimal here and
+  the Pallas per-row DMA pipeline was not.
+* a fused PER sample + gather + dequantize — measured a wash against the
+  XLA composite across three rounds (1,529/1,547, 1,483/1,602, 1,453/1,532
+  µs), never the >=1.3x the fusion story promised: the descent dominates
+  both sides, and the gather the fusion saves is cheap. Inside the fused
+  training scan the custom call also defeated XLA's aliasing of the
+  multi-GB replay ring (67x end-to-end regression, r1).
+
+The replay buffers default to XLA everywhere; the surviving kernel is
+taken only on explicit ``use_pallas=True``.
 """
 
 import functools
@@ -53,83 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
-
-
-# --------------------------------------------------------------------------
-# Fused minibatch gather + dequantize
-# --------------------------------------------------------------------------
-
-def _gather_dequant_kernel(scale, ids_ref, row_ref, out_ref):
-    # row_ref is the [1, R, 128] block of the ring the index map pointed at
-    # this grid step; dequantize on the VMEM->VMEM write. ids_ref is
-    # consumed by the index map only.
-    del ids_ref
-    row = row_ref[:]
-    if scale == 1.0 and row.dtype == out_ref.dtype:
-        # Pure gather (no dequantize): straight VMEM copy.
-        out_ref[:] = row
-        return
-    if row.dtype == jnp.uint8:
-        # Mosaic has no direct uint8->float cast; widen through int32.
-        row = row.astype(jnp.int32)
-    out_ref[:] = row.astype(out_ref.dtype) * scale
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scale", "out_dtype", "interpret")
-)
-def gather_rows_dequantize_pallas(
-    storage: jax.Array,
-    ids: jax.Array,
-    *,
-    scale: float = 1.0 / 255.0,
-    out_dtype=jnp.float32,
-    interpret: bool = False,
-) -> jax.Array:
-    """``out[b] = storage[ids[b]].astype(out_dtype) * scale``.
-
-    Args:
-        storage: ``[capacity, R, 128]`` ring (any integer/float dtype). The
-            trailing two axes are one item row in lane-major layout — Mosaic
-            block shapes must either tile (8, 128) or span the full trailing
-            axes, so the ring keeps items pre-shaped ``[R, 128]`` (pad the
-            flat item to a 128 multiple; the pad rides along and is sliced
-            off by the caller).
-        ids: ``[B]`` int32 row indices, scalar-prefetched so each grid
-            step's HBM->VMEM row DMA is issued ahead by the pipeline.
-    Returns ``[B, R, 128]`` of ``out_dtype``.
-    """
-    assert storage.ndim == 3 and storage.shape[2] == 128, storage.shape
-    batch, rows = ids.shape[0], storage.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(batch,),
-        in_specs=[
-            # One ring row per grid step, chosen by the prefetched ids.
-            pl.BlockSpec((1, rows, 128), lambda b, ids: (ids[b], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, rows, 128), lambda b, ids: (b, 0, 0)),
-    )
-    return pl.pallas_call(
-        functools.partial(_gather_dequant_kernel, scale),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, rows, 128), out_dtype),
-        interpret=interpret,
-    )(ids.astype(jnp.int32), storage)
-
-
-def gather_rows_dequantize(storage, ids, *, scale=1.0 / 255.0, out_dtype=jnp.float32):
-    """Pallas kernel on TPU, pure-XLA gather elsewhere.
-
-    ``storage`` must be ``[capacity, R, 128]`` (see the kernel docstring).
-    Explicit-opt-in helper: the replay buffers default to XLA (see module
-    docstring's measured verdict).
-    """
-    if _on_tpu():
-        return gather_rows_dequantize_pallas(
-            storage, ids, scale=scale, out_dtype=out_dtype
-        )
-    return storage[ids].astype(out_dtype) * scale
 
 
 # --------------------------------------------------------------------------
@@ -277,142 +196,3 @@ def prefix_sample(priorities, targets):
     ):
         return prefix_sample_pallas(priorities, targets)
     return prefix_sample_reference(priorities, targets)
-
-
-# --------------------------------------------------------------------------
-# Fused PER sample + row gather + dequantize (one kernel launch)
-# --------------------------------------------------------------------------
-#
-# The XLA PER hot path is three serialized stages with HBM round trips
-# between them: (1) the log2(C)-level tree descent (each level a dependent
-# [B]-gather), (2) the minibatch row gather from the uint8 ring, (3) the
-# dequantize convert. XLA cannot fuse across the sample/gather boundary —
-# the gather's indices are the descent's output. This kernel runs all three
-# in ONE launch: a streaming prefix-count pass over the flat priorities
-# (VMEM-resident chunks, MXU cumsums), then — with the sampled indices
-# still in VMEM — issues the B row DMAs from the HBM ring and dequantizes
-# on the way out. Nothing but the final [B, R, 128] minibatch ever returns
-# to HBM.
-
-def _fused_sample_gather_kernel(
-    scale,
-    capacity,
-    prio_ref,
-    targets_ref,
-    storage_ref,
-    idx_out_ref,
-    out_ref,
-    carry_ref,
-    acc_ref,
-    stage_ref,
-    sems,
-):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        carry_ref[0, 0] = jnp.float32(0.0)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    count, chunk_total = _prefix_count_chunk(
-        prio_ref[:], targets_ref[:], carry_ref[0, 0]
-    )
-    acc_ref[:] = acc_ref[:] + count
-    carry_ref[0, 0] = carry_ref[0, 0] + chunk_total
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        B = acc_ref.shape[0]
-        idx = jnp.clip(acc_ref[:].astype(jnp.int32), 0, capacity - 1)
-        idx_out_ref[:] = idx
-
-        def issue(b, _):
-            row = idx_out_ref[b, 0]
-            pltpu.make_async_copy(
-                storage_ref.at[row], stage_ref.at[b], sems.at[b]
-            ).start()
-            return 0
-
-        jax.lax.fori_loop(0, B, issue, 0)
-
-        def drain(b, _):
-            row = idx_out_ref[b, 0]
-            pltpu.make_async_copy(
-                storage_ref.at[row], stage_ref.at[b], sems.at[b]
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, B, drain, 0)
-        staged = stage_ref[:]
-        if staged.dtype == jnp.uint8:
-            staged = staged.astype(jnp.int32)
-        out_ref[:] = staged.astype(out_ref.dtype) * scale
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scale", "out_dtype", "interpret")
-)
-def per_sample_gather_dequantize_pallas(
-    priorities: jax.Array,
-    targets: jax.Array,
-    storage: jax.Array,
-    *,
-    scale: float = 1.0 / 255.0,
-    out_dtype=jnp.float32,
-    interpret: bool = False,
-):
-    """Fused PER minibatch draw: ``idx[b] = #{i: cumsum(p)[i] <= t[b]}``
-    (identical to the tree descent) and ``out[b] = storage[idx[b]] * scale``
-    in one kernel launch.
-
-    Args:
-        priorities: ``[C]`` f32 leaf priorities, C a multiple of 8192
-            (zero-pad; trailing zeros cannot change counts for in-range
-            targets, and indices clamp to C-1).
-        targets: ``[B]`` f32 in ``[0, sum(priorities))``.
-        storage: ``[C, R, 128]`` ring (uint8 or float; same row layout as
-            :func:`gather_rows_dequantize_pallas`).
-    Returns ``(idx [B] int32, out [B, R, 128] out_dtype)``.
-    """
-    (c,) = priorities.shape
-    assert c % _CHUNK == 0, f"pad priorities to a multiple of {_CHUNK}"
-    assert storage.ndim == 3 and storage.shape[2] == 128, storage.shape
-    assert storage.shape[0] == c, (storage.shape, c)
-    # Mosaic DMA slices must be sublane-aligned: pad the item row count to
-    # a multiple of 8 (i.e. flat item width to a multiple of 1024).
-    assert storage.shape[1] % 8 == 0, (
-        f"storage rows {storage.shape[1]} must be a multiple of 8"
-    )
-    batch = targets.shape[0]
-    assert batch <= _MAX_PALLAS_BATCH
-    rows = storage.shape[1]
-    num_chunks = c // _CHUNK
-    idx, out = pl.pallas_call(
-        functools.partial(_fused_sample_gather_kernel, scale, c),
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, 128), lambda i: (i, 0)),
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ring stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((batch, 1), lambda i: (0, 0)),
-            pl.BlockSpec((batch, rows, 128), lambda i: (0, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((batch, 1), jnp.float32),
-            pltpu.VMEM((batch, rows, 128), storage.dtype),
-            pltpu.SemaphoreType.DMA((batch,)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
-            jax.ShapeDtypeStruct((batch, rows, 128), out_dtype),
-        ],
-        interpret=interpret,
-    )(
-        priorities.reshape(c // 128, 128),
-        targets[:, None].astype(jnp.float32),
-        storage,
-    )
-    return idx[:, 0], out

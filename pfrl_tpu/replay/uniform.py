@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from pfrl_tpu.ops import pallas_kernels
 from pfrl_tpu.replay.transition import Transition, TransitionBatch
 
 
@@ -121,16 +120,13 @@ class ReplayBuffer:
         next observation — enable full storage where truncation bootstrap
         fidelity matters (MuJoCo-style continuing tasks).
 
-        ``use_pallas``: ``True`` opts into the Pallas replay kernels
-        (compiled on TPU, interpreter mode elsewhere — the correctness
-        tests run both modes); ``"auto"`` (default) and ``False`` use the
-        pure-XLA paths. Auto resolves to XLA deliberately: measured on TPU
-        at the Atari reference config (BENCH pallas_ab), XLA's gather is
-        already faster standalone (31 vs 41 µs), and inside the fused
-        training scan the pallas custom-call defeats XLA's buffer aliasing
-        on the multi-GB ring (measured 67x end-to-end regression). The
-        kernels stay available as the building block for configs where a
-        fused gather does pay (e.g. much larger batches).
+        ``use_pallas``: accepted for API stability and forwarded to the
+        PER subclass, where ``True`` opts its SAMPLING into the streaming
+        Pallas prefix-sum kernel (the one Pallas kernel that measured a
+        win — pfrl_tpu/ops/pallas_kernels.py's verdict). The uniform
+        buffer itself is pure XLA: its Pallas row-gather kernel lost to
+        the XLA gather ~3x in every round-1..3 capture and was cut in
+        round 4.
 
         ``fused_dequant_scale``: when set (e.g. ``1/255``), uint8
         observation leaves are dequantized to ``float32 * scale`` inside
@@ -252,29 +248,13 @@ class ReplayBuffer:
 
     def _take(self, x, ids, shape: ItemShape, dequant: bool = False):
         """Gather rows ``x[ids]``, trimming 128-lane pad to the true item
-        width; optionally fused-dequantize uint8 -> float32 * scale.
-
-        Dispatches to the Pallas row-gather kernel
-        (:func:`pfrl_tpu.ops.pallas_kernels.gather_rows_dequantize_pallas`)
-        for padded wide leaves when enabled, else a plain XLA gather.
+        width; optionally fused-dequantize uint8 -> float32 * scale (XLA
+        fuses the convert into the gather consumer).
         """
         true_d = 1
         for s in shape.shape:
             true_d *= s
         dq = dequant and self.fused_dequant_scale and x.dtype == jnp.uint8
-        mode = self._pallas_mode()
-        if mode and x.ndim == 2 and x.shape[1] >= 128 and x.shape[1] % 128 == 0:
-            scale = float(self.fused_dequant_scale) if dq else 1.0
-            out_dtype = jnp.float32 if dq else x.dtype
-            cap, d = x.shape
-            out = pallas_kernels.gather_rows_dequantize_pallas(
-                x.reshape(cap, d // 128, 128),
-                ids,
-                scale=scale,
-                out_dtype=out_dtype,
-                interpret=mode == "interpret",
-            ).reshape(ids.shape[0], d)
-            return out[:, :true_d] if true_d != d else out
         out = x[ids]
         if out.ndim == 2 and out.shape[1] != true_d:
             out = out[:, :true_d]

@@ -1,9 +1,10 @@
-"""Pallas replay-kernel correctness: interpreter mode vs pure-XLA paths.
+"""Pallas PER-sampling kernel correctness: interpreter mode vs XLA.
 
 The same kernel code the TPU compiles runs here under the Pallas
-interpreter on CPU, pinned against the XLA reference implementations the
-buffers use when Pallas is off (VERDICT r1 item 1: kernels must be wired
-and tested in both modes).
+interpreter on CPU, pinned against the XLA reference implementation the
+PER buffer uses when Pallas is off. Only the streaming prefix-sum kernel
+survives round 4's win-or-cut (pfrl_tpu/ops/pallas_kernels.py documents
+the measured verdict; the row-gather and fused kernels were deleted).
 """
 
 import jax
@@ -12,33 +13,8 @@ import numpy as np
 import pytest
 
 from pfrl_tpu.ops import pallas_kernels as pk
-from pfrl_tpu.replay import PrioritizedReplayBuffer, ReplayBuffer
+from pfrl_tpu.replay import PrioritizedReplayBuffer
 from pfrl_tpu.replay.transition import Transition
-
-
-def test_gather_dequant_matches_xla(rng):
-    storage = jax.random.randint(rng, (256, 3, 128), 0, 256, dtype=jnp.int32).astype(
-        jnp.uint8
-    )
-    ids = jax.random.randint(jax.random.fold_in(rng, 1), (32,), 0, 256)
-    out = pk.gather_rows_dequantize_pallas(
-        storage, ids, scale=1.0 / 255.0, out_dtype=jnp.float32, interpret=True
-    )
-    # Multiply by the f32 reciprocal, matching the kernel (and the buffers'
-    # XLA fallback); dividing by 255 differs by 1 ulp on some values.
-    ref = storage[ids].astype(jnp.float32) * (1.0 / 255.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
-
-
-def test_gather_identity_same_dtype(rng):
-    storage = jax.random.randint(rng, (64, 2, 128), 0, 256, dtype=jnp.int32).astype(
-        jnp.uint8
-    )
-    ids = jnp.array([0, 63, 5, 5], jnp.int32)
-    out = pk.gather_rows_dequantize_pallas(
-        storage, ids, scale=1.0, out_dtype=jnp.uint8, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(storage[ids]))
 
 
 def test_prefix_sample_matches_reference(rng):
@@ -94,26 +70,6 @@ def _fill(buf, rng, n=40, lanes=4):
     return state
 
 
-@pytest.mark.parametrize("fused", [None, 1.0 / 255.0])
-def test_replay_gather_pallas_equals_xla(rng, fused):
-    lanes = 4
-    kw = dict(num_steps=2, gamma=0.9, num_lanes=lanes, fused_dequant_scale=fused)
-    b_pl = ReplayBuffer(512, use_pallas=True, **kw)
-    b_xla = ReplayBuffer(512, use_pallas=False, **kw)
-    s_pl = _fill(b_pl, rng, lanes=lanes)
-    s_xla = _fill(b_xla, rng, lanes=lanes)
-    ids = b_xla.sample_indices(s_xla, jax.random.fold_in(rng, 99), 16)
-    g_pl = b_pl.gather(s_pl, ids)
-    g_xla = b_xla.gather(s_xla, ids)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        g_pl,
-        g_xla,
-    )
-    want = jnp.float32 if fused else jnp.uint8
-    assert g_pl.obs.dtype == want and g_pl.next_obs.dtype == want
-
-
 @pytest.mark.slow
 def test_per_sample_pallas_equals_descent(rng):
     lanes = 4
@@ -138,47 +94,3 @@ def test_per_sample_pallas_equals_descent(rng):
         np.testing.assert_allclose(
             np.asarray(batch_pl.weight), np.asarray(batch_xla.weight), rtol=1e-6
         )
-
-
-def test_fused_per_sample_gather_dequant_matches_composite(rng):
-    """The single-launch fused kernel must equal the three-stage XLA
-    composite: prefix count -> row gather -> dequantize."""
-    C = pk._CHUNK  # 8192 leaves, one chunk
-    prio = jax.random.randint(rng, (C,), 0, 4).astype(jnp.float32)
-    total = float(jnp.sum(prio))
-    targets = jax.random.uniform(
-        jax.random.fold_in(rng, 7), (16,), minval=0.0, maxval=total
-    )
-    storage = jax.random.randint(
-        jax.random.fold_in(rng, 8), (C, 8, 128), 0, 255
-    ).astype(jnp.uint8)
-    idx, out = pk.per_sample_gather_dequantize_pallas(
-        prio, targets, storage, scale=1 / 255.0, interpret=True
-    )
-    ref_idx = pk.prefix_sample_reference(prio, targets)
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
-    ref_out = storage[ref_idx].astype(jnp.float32) / 255.0
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out))
-
-
-def test_fused_per_sample_multi_chunk_and_edge_targets(rng):
-    C = 2 * pk._CHUNK
-    prio = jax.random.randint(rng, (C,), 0, 3).astype(jnp.float32)
-    total = float(jnp.sum(prio))
-    # Edge: target just inside 0 and just below the total, plus midpoints.
-    targets = jnp.asarray(
-        [0.0, 0.5, total / 2, total - 0.5], jnp.float32
-    )
-    storage = jax.random.randint(
-        jax.random.fold_in(rng, 9), (C, 8, 128), 0, 255
-    ).astype(jnp.uint8)
-    idx, out = pk.per_sample_gather_dequantize_pallas(
-        prio, targets, storage, scale=1.0, interpret=True
-    )
-    ref_idx = np.clip(
-        np.asarray(pk.prefix_sample_reference(prio, targets)), 0, C - 1
-    )
-    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
-    np.testing.assert_allclose(
-        np.asarray(out), np.asarray(storage)[ref_idx].astype(np.float32)
-    )

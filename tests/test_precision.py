@@ -126,3 +126,71 @@ def test_bf16_dqn_learns_abc():
     evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=3)
     returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
     assert np.all(returns >= 1.0), returns
+
+
+def test_bf16_recurrent_dqn_learns_delayed_cue():
+    """The recurrent unrolls honor compute_dtype too: bf16 DRQN still
+    solves DelayedCue through random-offset subsequence replay (stored
+    carries stay fp32)."""
+    import flax.linen as nn
+
+    from pfrl_tpu.action_value import DiscreteActionValue
+    from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments.runner import (
+        JaxEvalLoop,
+        OffPolicyRunner,
+        RunnerConfig,
+    )
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+    class RQ(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            q = nn.Dense(2)(h)
+            return DiscreteActionValue(q_values=q), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentDQNCore(
+        model=RQ(),
+        optimizer=optax.adam(5e-3),
+        explorer=ConstantEpsilonGreedy(0.2, 2),
+        gamma=0.95,
+        compute_dtype=jnp.bfloat16,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        EpisodicReplayBuffer(
+            max_episodes=256, max_episode_len=12, num_lanes=16, subseq_len=4
+        ),
+        RunnerConfig(
+            num_envs=16,
+            replay_start_size=256,
+            update_interval=8,
+            target_update_interval=256,
+            minibatch_size=32,
+        ),
+    )
+    state = runner.init(jax.random.PRNGKey(3))
+    # Stored carry snapshots must stay fp32 regardless of compute dtype.
+    for leaf in jax.tree.leaves(
+        state.replay_state.storage.extras["carry"]
+    ):
+        assert leaf.dtype == jnp.float32
+    state, _ = runner.run_chunk(state, 500)
+    evaluator = JaxEvalLoop(env, core, num_episodes=32, max_steps=12)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(5))
+    assert np.mean(returns) >= 0.9, returns

@@ -141,6 +141,19 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # Record this run's tunnel window: a degraded (~1 ms+) dispatch floor
+    # deflates every row ~2x and completely masks the fp32/bf16 delta.
+    _f = jax.jit(lambda x: x + 1)
+    _x = jnp.zeros(())
+    float(np.asarray(_f(_x)))
+    _floor = float("inf")
+    for _ in range(20):
+        _t0 = time.time()
+        float(np.asarray(_f(_x)))
+        _floor = min(_floor, time.time() - _t0)
 
     path = os.path.join(REPO, "SCALING_r04.json")
     if os.path.exists(path):
@@ -163,6 +176,9 @@ def main():
         # partial results are still a scaling table.
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
+
+    out.setdefault("dispatch_floor_us_per_run", []).append(round(_floor * 1e6, 1))
+    flush()
 
     def record(lanes, batch, dtype):
         if any(

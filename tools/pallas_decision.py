@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Decisive Pallas win-or-cut A/B (VERDICT r3 item 4).
+"""Floor-gated Pallas prefix-sample A/B (the round-4 win-or-cut record).
 
 Gates on a good tunnel window (synced-dispatch floor < 150 µs — degraded
 windows invalidate kernel-level comparisons), then runs >= 5 interleaved
-rounds of each replay-kernel A/B at the 1M-slot Atari configuration and
-prints min-of-rounds per side plus the win ratios. The decision rule from
-the verdict: the fused kernel must beat the XLA composite by >= 1.3x
-min-of-rounds or be deleted; prefix_sample stays only if it wins.
+rounds of the surviving replay-kernel A/B (streaming prefix-sample vs the
+XLA tree descent) at the Atari configuration. The row-gather and fused
+kernels were already cut on the accumulated round-1..3 evidence
+(pfrl_tpu/ops/pallas_kernels.py docstring); this tool re-validates the
+keep decision whenever a good window is available.
 
 Usage: python tools/pallas_decision.py [--rounds 5] [--force]
 """
@@ -66,10 +67,6 @@ def main():
     from pfrl_tpu.replay import sum_tree
 
     batch = 32
-    cap, rows = 100_000, 221
-    storage = jnp.ones((cap, rows, 128), jnp.uint8)
-    flat = storage.reshape(cap, rows * 128)
-    ids = jnp.arange(batch, dtype=jnp.int32) * 771
     cap_t = 131_072
     prio = jax.random.uniform(jax.random.PRNGKey(0), (cap_t,)) + 0.01
     tree = sum_tree.update(sum_tree.init_tree(cap_t), jnp.arange(cap_t), prio)
@@ -77,32 +74,15 @@ def main():
     targets = jax.random.uniform(
         jax.random.PRNGKey(1), (batch,), maxval=float(sum_tree.total(tree)) * 0.999
     )
-    storage_t = jnp.ones((cap_t, 224, 128), jnp.uint8)
-    flat_t = storage_t.reshape(cap_t, 224 * 128)
-
-    def composite(tree, targets, flat):
-        ids = sum_tree.sample_from_prefix(tree, targets)
-        return ids, flat[ids].astype(jnp.float32) * (1 / 255.0)
-
     jit_descent = jax.jit(sum_tree.sample_from_prefix)
-    jit_comp = jax.jit(composite)
-    jit_xgather = jax.jit(lambda s, i: s[i].astype(jnp.float32) * (1 / 255.0))
 
     def _force(out):
         leaf = out[0] if isinstance(out, tuple) else out
         np.asarray(leaf)
 
     fns = {
-        "gather_pallas": lambda: pk.gather_rows_dequantize_pallas(
-            storage, ids, scale=1 / 255.0, out_dtype=jnp.float32
-        ),
-        "gather_xla": lambda: jit_xgather(flat, ids),
         "prefix_pallas": lambda: pk.prefix_sample_pallas(leaves, targets),
         "prefix_descent": lambda: jit_descent(tree, targets),
-        "fused_pallas": lambda: pk.per_sample_gather_dequantize_pallas(
-            leaves, targets, storage_t, scale=1 / 255.0
-        ),
-        "fused_xla_composite": lambda: jit_comp(tree, targets, flat_t),
     }
     for f in fns.values():
         _force(f())
@@ -125,10 +105,8 @@ def main():
         "floor_us": round(floor, 1),
         "rounds": args.rounds,
         "best_us": {k: round(v, 1) for k, v in best.items()},
-        "gather_speedup_pallas_vs_xla": round(best["gather_xla"] / best["gather_pallas"], 3),
-        "prefix_speedup_pallas_vs_descent": round(best["prefix_descent"] / best["prefix_pallas"], 3),
-        "fused_speedup_pallas_vs_composite": round(
-            best["fused_xla_composite"] / best["fused_pallas"], 3
+        "prefix_speedup_pallas_vs_descent": round(
+            best["prefix_descent"] / best["prefix_pallas"], 3
         ),
     }
     print(json.dumps(out, indent=1))
