@@ -66,6 +66,7 @@ def build_core(n_actions, args):
         ),
         gamma=0.99,
         phi=phi,
+        burn_in=args.burn_in,
     )
 
 
@@ -129,6 +130,10 @@ def main():
     parser.add_argument("--max-episodes", type=int, default=2048)
     parser.add_argument("--episodic-update-len", type=int, default=32,
                         help="truncated-BPTT window (ppo.py:145-154 analog)")
+    parser.add_argument("--burn-in", type=int, default=0,
+                        help="R2D2 burn-in steps per replayed window "
+                        "(stop-gradient carry refresh; size "
+                        "--episodic-update-len as burn_in + train_len)")
     parser.add_argument("--max-episode-chunk", type=int, default=128,
                         help="storage row length; longer episodes chunk "
                         "into fresh rows (nothing is truncated)")

@@ -34,9 +34,22 @@ from pfrl_tpu.utils.pytree import tree_where
 
 class RecurrentDQNCore(DQNCore):
     """model: ``apply(params, x[B,...], carry) -> (ActionValue, carry)`` with
-    ``initial_carry(batch_size)`` (pfrl_tpu.models.recurrent protocol)."""
+    ``initial_carry(batch_size)`` (pfrl_tpu.models.recurrent protocol).
+
+    ``burn_in``: R2D2-style burn-in (Kapturowski et al. 2019 — beyond the
+    reference, which only warm-starts from the stored snapshot): the first
+    ``burn_in`` steps of each replayed window are unrolled with CURRENT
+    params under stop_gradient to refresh the possibly-stale stored carry,
+    and the TD loss trains only on the remaining steps. Size replay
+    windows as ``subseq_len = burn_in + train_len``.
+    """
 
     recurrent = True
+
+    def __init__(self, *args, burn_in: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert burn_in >= 0
+        self.burn_in = burn_in
 
     def init(self, rng, example_obs, example_action=None) -> DQNState:
         del example_action
@@ -87,7 +100,8 @@ class RecurrentDQNCore(DQNCore):
 
     # ---------------------------------------------------------------- update
     def _unroll(self, params, rng, obs_seq, B, carry0=None):
-        """obs_seq: [B, T, ...] -> stacked ActionValue over [T] (time-major scan).
+        """obs_seq: [B, T, ...] -> (stacked ActionValue over [T] (time-major
+        scan), final carry).
 
         ``carry0``: warm-start carry (stored behavior-time snapshot at the
         window start); zeros when the buffer stored none.
@@ -110,30 +124,45 @@ class RecurrentDQNCore(DQNCore):
                 carry = cast_to_float32(carry)
             return carry, av
 
-        _, avs = jax.lax.scan(body, carry0, xs)
-        return avs  # ActionValue pytree with leaves [T, B, ...]
+        final_carry, avs = jax.lax.scan(body, carry0, xs)
+        return avs, final_carry  # ActionValue leaves [T, B, ...]
 
     def update_episodic(self, state: DQNState, rng, batch: EpisodeBatch):
         tr = batch.transitions
         B, T = batch.mask.shape
+        K = min(self.burn_in, T - 1) if self.burn_in else 0
 
         init_c = batch.init_carry
         tgt_c = batch.next_init_carry
 
+        def _tail(x):
+            return jax.tree.map(lambda v: v[:, K:], x) if K else x
+
         def loss_fn(params):
-            rng_on, rng_tgt = jax.random.split(rng)
-            avs = self._unroll(params, rng_on, tr.obs, B, init_c)   # [T,B,A]
-            tgt_avs = self._unroll(
-                state.target_params, rng_tgt, tr.next_obs, B, tgt_c
+            rng_on, rng_tgt, rng_b1, rng_b2 = jax.random.split(rng, 4)
+            on_c, tg_c = init_c, tgt_c
+            if K:
+                # Burn-in: refresh the stored carries by unrolling the
+                # window prefix with current params, gradient stopped
+                # (R2D2 semantics) — the loss trains only on the tail.
+                burn = jax.tree.map(lambda v: v[:, :K], tr.obs)
+                nburn = jax.tree.map(lambda v: v[:, :K], tr.next_obs)
+                _, c = self._unroll(params, rng_b1, burn, B, on_c)
+                on_c = jax.lax.stop_gradient(c)
+                _, c = self._unroll(state.target_params, rng_b2, nburn, B, tg_c)
+                tg_c = jax.lax.stop_gradient(c)
+            avs, _ = self._unroll(params, rng_on, _tail(tr.obs), B, on_c)
+            tgt_avs, _ = self._unroll(
+                state.target_params, rng_tgt, _tail(tr.next_obs), B, tg_c
             )
-            q = avs.evaluate_actions(jnp.swapaxes(tr.action, 0, 1))  # [T,B]
-            max_next = jax.lax.stop_gradient(tgt_avs.max())          # [T,B]
-            r = jnp.swapaxes(tr.reward, 0, 1)
-            term = jnp.swapaxes(tr.terminated, 0, 1).astype(jnp.float32)
+            q = avs.evaluate_actions(jnp.swapaxes(_tail(tr.action), 0, 1))
+            max_next = jax.lax.stop_gradient(tgt_avs.max())        # [T-K,B]
+            r = jnp.swapaxes(_tail(tr.reward), 0, 1)
+            term = jnp.swapaxes(_tail(tr.terminated), 0, 1).astype(jnp.float32)
             target = r + self.gamma * (1.0 - term) * max_next
             diff = q - jax.lax.stop_gradient(target)
             per = huber_loss(diff) if self.clip_delta else 0.5 * diff * diff
-            m = jnp.swapaxes(batch.mask, 0, 1)
+            m = jnp.swapaxes(_tail(batch.mask), 0, 1)
             if self.batch_accumulator == "mean":
                 loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
             else:

@@ -356,3 +356,67 @@ class TestDelayedCueSubsequenceReplay:
         # balanced cues). Random-offset replay solves it (+1).
         assert prefix_score < 0.5, prefix_score
         assert subseq_score >= 0.9, subseq_score
+
+
+class TestBurnIn:
+    def test_r2d2_burn_in_learns_delayed_cue(self):
+        """R2D2-style burn-in (beyond reference parity): windows of
+        burn_in+train_len steps, prefix re-unrolled under stop_gradient to
+        refresh the stored carry, TD loss on the tail only."""
+        import flax.linen as nn
+
+        from pfrl_tpu.action_value import DiscreteActionValue
+        from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+        from pfrl_tpu.envs import DelayedCue
+        from pfrl_tpu.experiments.runner import (
+            JaxEvalLoop,
+            OffPolicyRunner,
+            RunnerConfig,
+        )
+        from pfrl_tpu.explorers import ConstantEpsilonGreedy
+        from pfrl_tpu.models.recurrent import LSTMCellModule
+
+        class RQ(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(32)(x))
+                h, new_carry = LSTMCellModule(32)(h, carry[0])
+                q = nn.Dense(2)(h)
+                return DiscreteActionValue(q_values=q), (new_carry,)
+
+            def initial_carry(self, batch_size):
+                return (
+                    (
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                    ),
+                )
+
+        env = DelayedCue(episode_len=12, reveal_step=8)
+        core = RecurrentDQNCore(
+            model=RQ(),
+            optimizer=optax.adam(5e-3),
+            explorer=ConstantEpsilonGreedy(0.2, 2),
+            gamma=0.95,
+            burn_in=2,
+        )
+        runner = OffPolicyRunner(
+            env,
+            core,
+            EpisodicReplayBuffer(
+                max_episodes=256, max_episode_len=12, num_lanes=16,
+                subseq_len=6,  # 2 burn-in + 4 trained steps
+            ),
+            RunnerConfig(
+                num_envs=16,
+                replay_start_size=256,
+                update_interval=8,
+                target_update_interval=256,
+                minibatch_size=32,
+            ),
+        )
+        state = runner.init(jax.random.PRNGKey(3))
+        state, _ = runner.run_chunk(state, 500)
+        evaluator = JaxEvalLoop(env, core, num_episodes=32, max_steps=12)
+        returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(5))
+        assert np.mean(returns) >= 0.9, returns
