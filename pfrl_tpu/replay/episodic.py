@@ -108,6 +108,7 @@ class EpisodicReplayBuffer:
         max_episode_len: int,
         num_lanes: int = 1,
         subseq_len: Optional[int] = None,
+        gamma: float = 0.99,
     ):
         assert max_episodes > 2 * num_lanes, (
             "need headroom: lanes occupy rows while writing"
@@ -116,6 +117,7 @@ class EpisodicReplayBuffer:
         self.max_episode_len = max_episode_len
         self.num_lanes = num_lanes
         self.subseq_len = subseq_len
+        self.gamma = gamma  # 1-step discount for the flat sample() view
 
     @property
     def wants_next_obs(self) -> bool:
@@ -135,6 +137,7 @@ class EpisodicReplayBuffer:
             self.max_episode_len,
             num_lanes,
             subseq_len=self.subseq_len,
+            gamma=self.gamma,
         )
 
     # ------------------------------------------------------------------ init
@@ -259,6 +262,45 @@ class EpisodicReplayBuffer:
             rng_row, jnp.log(probs + 1e-20), shape=(n_episodes,)
         )
         return self._gather_windows(state, rng_off, idx, T)
+
+    def sample(self, state: EpisodicReplayState, rng: jax.Array, n: int):
+        """Flat transition view: ``n`` uniform single transitions from the
+        sealed rows (the reference's ``EpisodicReplayBuffer.sample``,
+        pfrl/replay_buffers/episodic.py:44-46 — episodic storage doubles
+        as a plain buffer for non-recurrent consumers).
+
+        Returns a :class:`TransitionBatch` with 1-step discounts.
+        """
+        from pfrl_tpu.replay.transition import TransitionBatch
+
+        rng_row, rng_t = jax.random.split(rng)
+        probs = state.finished.astype(jnp.float32) * jnp.maximum(
+            state.ep_len.astype(jnp.float32), 0.0
+        )  # weight rows by length: uniform over stored transitions
+        rows = jax.random.categorical(
+            rng_row, jnp.log(probs + 1e-20), shape=(n,)
+        )
+        u = jax.random.uniform(rng_t, (n,))
+        t = jnp.minimum(
+            (u * state.ep_len[rows]).astype(jnp.int32),
+            jnp.maximum(state.ep_len[rows] - 1, 0),
+        )
+
+        def take(s, shape):
+            return s[rows, t].reshape((n,) + shape.shape)
+
+        tr = jax.tree.map(take, state.storage, state.item_shapes)
+        return TransitionBatch(
+            obs=tr.obs,
+            action=tr.action,
+            reward=tr.reward,
+            next_obs=tr.next_obs,
+            discount=jnp.full((n,), self.gamma, jnp.float32),
+            is_terminal=tr.terminated,
+            weight=jnp.ones((n,), jnp.float32),
+            indices=rows * self.max_episode_len + t,
+            extras=tr.extras,
+        )
 
     # ------------------------------------------------------- storage split
     # See ReplayBuffer.split_storage: keeps the episode storage out of

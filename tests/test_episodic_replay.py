@@ -420,3 +420,29 @@ class TestBurnIn:
         evaluator = JaxEvalLoop(env, core, num_episodes=32, max_steps=12)
         returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(5))
         assert np.mean(returns) >= 0.9, returns
+
+
+class TestFlatSample:
+    def test_flat_transition_view(self, rng):
+        """Reference parity: episodic storage doubles as a plain buffer
+        (pfrl/replay_buffers/episodic.py:44-46 sample(n))."""
+        buf = EpisodicReplayBuffer(
+            max_episodes=8, max_episode_len=5, num_lanes=1, gamma=0.9
+        )
+        state = buf.init(jax.tree.map(lambda x: x[0], step_batch([0], [0])))
+        # Two episodes: rewards 1..3 and 10..11.
+        for v in [1, 2, 3]:
+            state = buf.add(state, step_batch([v], [v == 3]))
+        for v in [10, 11]:
+            state = buf.add(state, step_batch([v], [v == 11]))
+        batch = buf.sample(state, rng, 512)
+        rewards = np.asarray(batch.transitions.reward) if hasattr(batch, "transitions") else np.asarray(batch.reward)
+        assert set(np.unique(rewards)) <= {1.0, 2.0, 3.0, 10.0, 11.0}
+        # All five stored transitions appear; uniform over transitions
+        # means each reward ~1/5 of draws.
+        counts = {v: int((rewards == v).sum()) for v in (1, 2, 3, 10, 11)}
+        assert all(c > 50 for c in counts.values()), counts
+        np.testing.assert_allclose(np.asarray(batch.discount), 0.9)
+        # Terminal flags ride along (rewards 3 and 11 ended episodes).
+        term = np.asarray(batch.is_terminal)
+        np.testing.assert_array_equal(term, np.isin(rewards, (3.0, 11.0)))
