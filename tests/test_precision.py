@@ -194,3 +194,50 @@ def test_bf16_recurrent_dqn_learns_delayed_cue():
     evaluator = JaxEvalLoop(env, core, num_episodes=32, max_steps=12)
     returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(5))
     assert np.mean(returns) >= 0.9, returns
+
+
+def test_bf16_c51_learns_abc():
+    """Distributional cores inherit the cast boundary from
+    DQNCore.action_value: C51 with bf16 compute still solves ABC (the
+    categorical projection runs on fp32-cast atoms)."""
+    from pfrl_tpu.agents.categorical_dqn import CategoricalDQNCore
+    from pfrl_tpu.envs import ABC
+    from pfrl_tpu.experiments.runner import (
+        JaxEvalLoop,
+        OffPolicyRunner,
+        RunnerConfig,
+    )
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.q_functions import (
+        DistributionalFCStateQFunctionWithDiscreteAction,
+    )
+    from pfrl_tpu.replay import ReplayBuffer
+
+    env = ABC(size=2, deterministic=True)
+    core = CategoricalDQNCore(
+        model=DistributionalFCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_atoms=51, v_min=0.0, v_max=1.0,
+            n_hidden_channels=64, n_hidden_layers=2,
+        ),
+        optimizer=optax.adam(5e-3),
+        explorer=ConstantEpsilonGreedy(0.1, 2),
+        gamma=0.9,
+        compute_dtype=jnp.bfloat16,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        ReplayBuffer(2000, gamma=0.9, num_lanes=16),
+        RunnerConfig(
+            num_envs=16,
+            replay_start_size=128,
+            update_interval=16,
+            target_update_interval=128,
+            minibatch_size=16,
+        ),
+    )
+    state = runner.init(jax.random.PRNGKey(0))
+    state, _ = runner.run_chunk(state, 400)
+    evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=3)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+    assert np.all(returns >= 1.0), returns
