@@ -140,6 +140,9 @@ def test_round4_zoo_entries_resolve():
         "trpo/pendulum",
         "acer/abc",
         "drqn/delayed_cue",
+        "al/cartpole",
+        "a2c/cartpole",
+        "reinforce/cartpole",
     ):
         assert name in models, models
         alg, env = name.split("/")

@@ -23,6 +23,12 @@ best-checkpoint zoo entries:
                      REQUIRES random-offset subsequence replay (prefix-only
                      replay provably fails it; see
                      tests/test_episodic_replay.py).
+  - al_cartpole:     Advantage Learning (AL operator) — CartPole; solved
+                     at Gym's official 475 threshold.
+  - a2c_cartpole:    A2C (sync n-step actor-critic) — CartPole-500.
+  - reinforce_cartpole: REINFORCE through the HOST driver
+                     (train_agent_with_evaluation writes scores.txt) —
+                     doubles as host-driver artifact-path evidence.
 
 Artifacts:
   benchmarks/curves/<name>/scores.txt   (steps/episodes/elapsed/mean/...)
@@ -788,6 +794,149 @@ def run_drqn_delayed_cue():
     )
 
 
+def run_al_cartpole():
+    import optax
+
+    from pfrl_tpu import explorers
+    from pfrl_tpu.agents.al import ALCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+    from pfrl_tpu.replay import ReplayBuffer
+
+    steps, num_envs = 200_000, 32
+    env = TimeLimit(CartPole(), 500)
+    core = ALCore(
+        model=FCStateQFunctionWithDiscreteAction(
+            n_actions=2, n_hidden_channels=100, n_hidden_layers=2
+        ),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(10.0), optax.adam(1e-3)
+        ),
+        explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.05, steps // 4, 2),
+        gamma=0.99,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        ReplayBuffer(10**5, gamma=0.99, num_lanes=num_envs),
+        RunnerConfig(
+            num_envs=num_envs,
+            replay_start_size=1024,
+            update_interval=4,
+            target_update_interval=1024,
+            minibatch_size=64,
+        ),
+    )
+    return _curve_loop(
+        "al_cartpole",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=10, max_steps=501),
+        steps=steps,
+        eval_every=10_000,
+        zoo_entry=("al", "cartpole"),
+        # Gym's official CartPole-v1 solved threshold; AL's advantage
+        # operator makes exact-500 stickiness rarer than plain DQN's.
+        successful_score=475.0,
+        min_rows=5,
+        seed=2,
+    )
+
+
+def run_a2c_cartpole():
+    import flax.linen as nn
+    import optax
+
+    from pfrl_tpu.agents.a2c import A2CCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    steps, num_envs, rollout = 2_000_000, 32, 8
+    env = TimeLimit(CartPole(), 500)
+
+    class PiV(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.tanh(nn.Dense(64)(x))
+            h = nn.tanh(nn.Dense(64)(h))
+            return SoftmaxCategoricalHead()(nn.Dense(2)(h)), nn.Dense(1)(h)
+
+    core = A2CCore(
+        PiV(),
+        optax.rmsprop(7e-4, decay=0.99, eps=1e-5),
+        gamma=0.99,
+        entropy_coeff=0.01,
+        v_loss_coef=0.5,
+        max_grad_norm=40.0,
+    )
+    runner = OnPolicyRunner(env, core, num_envs, rollout)
+    iters_per_eval = max(1, 20_000 // (num_envs * rollout))
+    return _curve_loop(
+        "a2c_cartpole",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=10, max_steps=501),
+        steps=steps,
+        eval_every=20_000,
+        zoo_entry=("a2c", "cartpole"),
+        successful_score=500.0,
+        min_rows=5,
+        run_chunk=lambda s: runner.run_iterations(s, iters_per_eval)[0],
+    )
+
+
+def run_reinforce_cartpole():
+    """Host-driver path: the reference-protocol serial loop
+    (train_agent_with_evaluation) records scores.txt itself — this curve
+    doubles as evidence for the host-driver artifact pipeline."""
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from pfrl_tpu.agents import REINFORCE
+    from pfrl_tpu.envs import CartPole, HostJaxEnv, TimeLimit
+    from pfrl_tpu.experiments import train_agent_with_evaluation
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+    from pfrl_tpu.replay.persistent import save_state
+
+    class Policy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(128)(x))
+            return SoftmaxCategoricalHead()(nn.Dense(2)(h))
+
+    agent = REINFORCE(
+        Policy(),
+        optax.adam(1e-3),
+        gamma=0.99,
+        batchsize=10,
+        max_episode_len=500,
+        baseline=True,
+        seed=0,
+    )
+    outdir = os.path.join(REPO, "benchmarks/curves", "reinforce_cartpole")
+    os.makedirs(outdir, exist_ok=True)
+    agent, history = train_agent_with_evaluation(
+        agent,
+        HostJaxEnv(TimeLimit(CartPole(), 500), seed=1),
+        steps=150_000,
+        eval_n_steps=None,
+        eval_n_episodes=10,
+        eval_interval=10_000,
+        outdir=outdir,
+        successful_score=500.0,
+        train_max_episode_len=500,
+        eval_env=HostJaxEnv(TimeLimit(CartPole(), 500), seed=2),
+    )
+    d = os.path.join(REPO, "zoo", "reinforce", "cartpole", "best")
+    os.makedirs(d, exist_ok=True)
+    save_state(
+        jax.device_get(agent.train_state), os.path.join(d, "train_state.msgpack")
+    )
+    return history[-1]["eval_score"] if history else float("nan")
+
+
 RUNS = {
     "dqn_cartpole": run_dqn_cartpole,
     "c51_cartpole": run_c51_cartpole,
@@ -800,6 +949,9 @@ RUNS = {
     "trpo_pendulum": run_trpo_pendulum,
     "acer_abc": run_acer_abc,
     "drqn_delayed_cue": run_drqn_delayed_cue,
+    "al_cartpole": run_al_cartpole,
+    "a2c_cartpole": run_a2c_cartpole,
+    "reinforce_cartpole": run_reinforce_cartpole,
 }
 
 
