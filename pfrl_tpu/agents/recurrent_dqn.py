@@ -167,11 +167,17 @@ class RecurrentDQNCore(DQNCore):
                 loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
             else:
                 loss = jnp.sum(per * m) / B
-            return loss, jnp.mean(q * m)
+            # Per-window |TD| (masked mean over trained steps): the
+            # prioritized episodic buffer's priority feedback signal
+            # (reference per-episode update_errors loop).
+            win_err = jnp.sum(jnp.abs(diff) * m, axis=0) / jnp.maximum(
+                jnp.sum(m, axis=0), 1.0
+            )
+            return loss, (jnp.mean(q * m), win_err)
 
-        (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (q_mean, win_err)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -182,5 +188,5 @@ class RecurrentDQNCore(DQNCore):
         return new_state, {
             "loss": loss,
             "average_q": q_mean,
-            "errors": jnp.zeros((1,)),
+            "errors": jax.lax.stop_gradient(win_err),
         }

@@ -162,11 +162,19 @@ class RecurrentIQNCore(RecurrentDQNCore):
                 loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
             else:
                 loss = jnp.sum(per * m) / B
-            return loss, jnp.mean(jnp.mean(quant, axis=2) * m[..., None])
+            # Per-window masked mean quantile loss: the prioritized
+            # episodic buffer's priority feedback signal.
+            win_err = jnp.sum(per * m, axis=0) / jnp.maximum(
+                jnp.sum(m, axis=0), 1.0
+            )
+            return loss, (
+                jnp.mean(jnp.mean(quant, axis=2) * m[..., None]),
+                win_err,
+            )
 
-        (loss, q_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (q_mean, win_err)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -177,5 +185,5 @@ class RecurrentIQNCore(RecurrentDQNCore):
         return new_state, {
             "loss": loss,
             "average_q": q_mean,
-            "errors": jnp.zeros((1,)),
+            "errors": jax.lax.stop_gradient(win_err),
         }

@@ -380,6 +380,17 @@ class OffPolicyRunner:
                     train_state, aux = self.core.update_episodic(
                         train_state, rng_u, batch
                     )
+                    # Per-episode priority feedback (the reference's
+                    # update_errors loop for prioritized episodic replay,
+                    # pfrl/replay_buffers/prioritized_episodic.py:60-80):
+                    # cores report one error per sampled window.
+                    if hasattr(self.buffer, "update_episode_priorities") and (
+                        jnp.shape(aux["errors"])[0] == cfg.minibatch_size
+                    ):
+                        full = self.buffer.update_episode_priorities(
+                            full, batch.rows, aux["errors"]
+                        )
+                        light, _ = self.buffer.split_storage(full)
                     return (train_state, light, rng, aux["loss"])
                 out = self.buffer.sample(full, rng_s, cfg.minibatch_size)
                 if isinstance(out, tuple):

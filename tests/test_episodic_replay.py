@@ -446,3 +446,84 @@ class TestFlatSample:
         # Terminal flags ride along (rewards 3 and 11 ended episodes).
         term = np.asarray(batch.is_terminal)
         np.testing.assert_array_equal(term, np.isin(rewards, (3.0, 11.0)))
+
+
+class TestPrioritizedEpisodicFeedback:
+    def test_priorities_update_inside_fused_loop(self):
+        """The fused runner feeds per-window TD errors back into the
+        prioritized episodic tree (the reference's per-episode
+        update_errors loop) — and the agent still solves PO-ABC."""
+        import flax.linen as nn
+
+        from pfrl_tpu.action_value import DiscreteActionValue
+        from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+        from pfrl_tpu.envs import ABC
+        from pfrl_tpu.experiments.runner import (
+            JaxEvalLoop,
+            OffPolicyRunner,
+            RunnerConfig,
+        )
+        from pfrl_tpu.explorers import ConstantEpsilonGreedy
+        from pfrl_tpu.models.recurrent import LSTMCellModule
+        from pfrl_tpu.replay.prioritized_episodic import (
+            PrioritizedEpisodicReplayBuffer,
+        )
+
+        class RQ(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(32)(x))
+                h, new_carry = LSTMCellModule(32)(h, carry[0])
+                q = nn.Dense(2)(h)
+                return DiscreteActionValue(q_values=q), (new_carry,)
+
+            def initial_carry(self, batch_size):
+                return (
+                    (
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                        jnp.zeros((batch_size, 32), jnp.float32),
+                    ),
+                )
+
+        env = ABC(size=2, partially_observable=True, deterministic=True)
+        core = RecurrentDQNCore(
+            model=RQ(),
+            optimizer=optax.adam(5e-3),
+            explorer=ConstantEpsilonGreedy(0.3, 2),
+            gamma=0.9,
+        )
+        buffer = PrioritizedEpisodicReplayBuffer(
+            max_episodes=256, max_episode_len=4, num_lanes=16
+        )
+        runner = OffPolicyRunner(
+            env,
+            core,
+            buffer,
+            RunnerConfig(
+                num_envs=16,
+                replay_start_size=128,
+                update_interval=16,
+                target_update_interval=128,
+                minibatch_size=16,
+            ),
+        )
+        state = runner.init(jax.random.PRNGKey(0))
+        state, _ = runner.run_chunk(state, 600)
+        # Error feedback happened: sealed rows carry non-default,
+        # non-uniform priorities derived from per-window |TD|.
+        from pfrl_tpu.replay import sum_tree
+
+        leaves = sum_tree.leaf_values(state.replay_state.tree, 256) if hasattr(
+            sum_tree, "leaf_values"
+        ) else np.asarray(state.replay_state.tree)[-256:]
+        leaves = np.asarray(leaves)
+        nz = leaves[leaves > 0]
+        # Rows were re-prioritized away from the insert default (1.0 =
+        # max_priority) to (|TD| + eps)^alpha values, and the errors are
+        # per-window distinct (not one broadcast scalar).
+        fed_back = nz[np.abs(nz - 1.0) > 1e-3]
+        assert len(fed_back) > 16, (len(fed_back), nz[:8])
+        assert len(np.unique(fed_back)) > 4, np.unique(fed_back)[:8]
+        evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
+        returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+        assert np.all(np.asarray(returns) >= 1.0), returns
