@@ -143,6 +143,7 @@ def test_round4_zoo_entries_resolve():
         "al/cartpole",
         "a2c/cartpole",
         "reinforce/cartpole",
+        "acer_continuous/abc",
     ):
         assert name in models, models
         alg, env = name.split("/")

@@ -29,6 +29,8 @@ best-checkpoint zoo entries:
   - reinforce_cartpole: REINFORCE through the HOST driver
                      (train_agent_with_evaluation writes scores.txt) —
                      doubles as host-driver artifact-path evidence.
+  - acer_continuous_abc: continuous/SDN ACER (stochastic-dueling
+                     advantage sampling) — continuous ABC chain.
 
 Artifacts:
   benchmarks/curves/<name>/scores.txt   (steps/episodes/elapsed/mean/...)
@@ -794,6 +796,73 @@ def run_drqn_delayed_cue():
     )
 
 
+def run_acer_continuous_abc():
+    """Continuous/SDN ACER (reference acer.py:118-169 SDN advantage
+    sampling) on the continuous ABC chain — the most exotic reference
+    agent, curve-evidenced."""
+    import flax.linen as nn
+    import optax
+
+    from pfrl_tpu.agents.acer import ACERContinuousCore, ACERSDNModel
+    from pfrl_tpu.envs import ABC
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+    from pfrl_tpu.q_functions import FCSAQFunction
+    from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+    steps, num_envs = 120_000, 16
+    env = ABC(size=2, discrete=False, episodic=True, deterministic=True)
+
+    class Pi(nn.Module):
+        action_size: int = 2
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(32)(x))
+            return GaussianHeadWithStateIndependentCovariance(
+                action_size=self.action_size
+            )(nn.Dense(self.action_size)(h))
+
+    class V(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(nn.relu(nn.Dense(32)(x)))
+
+    core = ACERContinuousCore(
+        model=ACERSDNModel(
+            pi=Pi(action_size=env.action_space.shape[0]),
+            vf=V(),
+            adv=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        ),
+        optimizer=optax.adam(5e-3),
+        gamma=0.9,
+        beta=1e-3,
+        use_trust_region=True,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        EpisodicReplayBuffer(max_episodes=512, max_episode_len=4, num_lanes=num_envs),
+        RunnerConfig(
+            num_envs=num_envs,
+            replay_start_size=128,
+            update_interval=16,
+            target_update_interval=10**9,  # ACER has no target net
+            minibatch_size=16,
+        ),
+    )
+    return _curve_loop(
+        "acer_continuous_abc",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=10, max_steps=4),
+        steps=steps,
+        eval_every=6_000,
+        zoo_entry=("acer_continuous", "abc"),
+        successful_score=1.0,
+        min_rows=5,
+    )
+
+
 def run_al_cartpole():
     import optax
 
@@ -949,6 +1018,7 @@ RUNS = {
     "trpo_pendulum": run_trpo_pendulum,
     "acer_abc": run_acer_abc,
     "drqn_delayed_cue": run_drqn_delayed_cue,
+    "acer_continuous_abc": run_acer_continuous_abc,
     "al_cartpole": run_al_cartpole,
     "a2c_cartpole": run_a2c_cartpole,
     "reinforce_cartpole": run_reinforce_cartpole,
