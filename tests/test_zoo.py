@@ -144,6 +144,7 @@ def test_round4_zoo_entries_resolve():
         "a2c/cartpole",
         "reinforce/cartpole",
         "acer_continuous/abc",
+        "rainbow/cartpole",
     ):
         assert name in models, models
         alg, env = name.split("/")

@@ -31,6 +31,9 @@ best-checkpoint zoo entries:
                      doubles as host-driver artifact-path evidence.
   - acer_continuous_abc: continuous/SDN ACER (stochastic-dueling
                      advantage sampling) — continuous ABC chain.
+  - rainbow_cartpole: Rainbow combo (C51 + Double + dueling noisy head +
+                     PER + 3-step) — CartPole, solved by NoisyNet
+                     exploration alone (epsilon 0).
 
 Artifacts:
   benchmarks/curves/<name>/scores.txt   (steps/episodes/elapsed/mean/...)
@@ -796,6 +799,83 @@ def run_drqn_delayed_cue():
     )
 
 
+def run_rainbow_cartpole():
+    """Rainbow-style combo on CartPole: C51 + DoubleDQN targets + dueling
+    noisy head + proportional PER + 3-step returns — the full stack the
+    reference's Rainbow reproduction composes
+    (examples/atari/reproduction/rainbow)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.action_value import DistributionalDiscreteActionValue
+    from pfrl_tpu.agents.categorical_dqn import CategoricalDoubleDQNCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.models.noisy_linear import FactorizedNoisyDense
+    from pfrl_tpu.replay import PrioritizedReplayBuffer
+
+    steps, num_envs, n_atoms = 300_000, 32, 51
+    env = TimeLimit(CartPole(), 500)
+
+    class RainbowHead(nn.Module):
+        n_actions: int = 2
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(MLP(out_size=128, hidden_sizes=(128,))(x))
+            h_a, h_v = jnp.split(h, 2, axis=-1)
+            a = FactorizedNoisyDense(
+                features=self.n_actions * n_atoms, sigma_scale=0.5
+            )(h_a).reshape(-1, self.n_actions, n_atoms)
+            a = a - jnp.mean(a, axis=1, keepdims=True)
+            v = FactorizedNoisyDense(features=n_atoms, sigma_scale=0.5)(
+                h_v
+            )[:, None, :]
+            q_dist = nn.softmax(a + v, axis=-1)
+            z = jnp.linspace(0.0, 500.0, n_atoms, dtype=jnp.float32)
+            return DistributionalDiscreteActionValue(q_dist=q_dist, z_values=z)
+
+    core = CategoricalDoubleDQNCore(
+        model=RainbowHead(),
+        optimizer=optax.adam(1e-3, eps=1.5e-4),
+        explorer=ConstantEpsilonGreedy(0.0, 2),  # NoisyNet explores
+        gamma=0.99,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        PrioritizedReplayBuffer(
+            10**5,
+            alpha=0.5,
+            beta0=0.4,
+            betasteps=steps,
+            num_steps=3,
+            gamma=0.99,
+            num_lanes=num_envs,
+        ),
+        RunnerConfig(
+            num_envs=num_envs,
+            replay_start_size=1024,
+            update_interval=4,
+            target_update_interval=1024,
+            minibatch_size=64,
+        ),
+    )
+    return _curve_loop(
+        "rainbow_cartpole",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=10, max_steps=501),
+        steps=steps,
+        eval_every=10_000,
+        zoo_entry=("rainbow", "cartpole"),
+        successful_score=475.0,
+        min_rows=5,
+    )
+
+
 def run_acer_continuous_abc():
     """Continuous/SDN ACER (reference acer.py:118-169 SDN advantage
     sampling) on the continuous ABC chain — the most exotic reference
@@ -1018,6 +1098,7 @@ RUNS = {
     "trpo_pendulum": run_trpo_pendulum,
     "acer_abc": run_acer_abc,
     "drqn_delayed_cue": run_drqn_delayed_cue,
+    "rainbow_cartpole": run_rainbow_cartpole,
     "acer_continuous_abc": run_acer_continuous_abc,
     "al_cartpole": run_al_cartpole,
     "a2c_cartpole": run_a2c_cartpole,
