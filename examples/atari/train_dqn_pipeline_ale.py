@@ -61,6 +61,8 @@ def main():
     parser.add_argument("--burst", type=int, default=64)
     parser.add_argument("--log-interval", type=float, default=30.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser)
     args = parser.parse_args()
 
@@ -90,6 +92,8 @@ def main():
             h = LargeAtariCNN()(x)
             return DiscreteActionValueHead()(nn.Dense(n_actions)(h))
 
+    import jax.numpy as jnp
+
     core = DQNCore(
         model=NatureQ(),
         optimizer=optax.rmsprop(args.lr, decay=0.95, eps=1e-2),
@@ -97,6 +101,7 @@ def main():
         gamma=0.99,
         batch_accumulator="sum",
         phi=atari_phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.demo or args.load:
         import jax

@@ -77,7 +77,7 @@ def run_device(steps: int, seed: int, args=None):
         save_train_state_if_requested(state.train_state, args.save_to)
 
 
-def run_hostloop(steps: int, seed: int):
+def run_hostloop(steps: int, seed: int, args=None):
     # The same agent behind the reference's act/observe object protocol —
     # plug in any host env (gym-style) here.
     env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=seed)
@@ -92,6 +92,19 @@ def run_hostloop(steps: int, seed: int):
         target_update_interval=100,
         seed=seed,
     )
+    if args is not None and args.load:
+        agent.load(args.load)
+    if args is not None and args.demo:
+        from pfrl_tpu.experiments import eval_performance
+
+        stats = eval_performance(
+            env=HostJaxEnv(TimeLimit(CartPole(), 500), seed=seed + 10**6),
+            agent=agent,
+            n_steps=None,
+            n_episodes=10,
+        )
+        print(f"n_episodes: {stats['episodes']} mean: {stats['mean']}")
+        return
     obs = env.reset()
     episode_return, t = 0.0, 0
     while t < steps:
@@ -116,6 +129,6 @@ if __name__ == "__main__":
     add_demo_args(parser)
     args = parser.parse_args()
     if args.hostloop:
-        run_hostloop(args.steps, args.seed)
+        run_hostloop(args.steps, args.seed, args=args)
     else:
         run_device(args.steps, args.seed, args=args)
