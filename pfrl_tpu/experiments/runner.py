@@ -145,6 +145,9 @@ class OffPolicyRunner:
             episode_return=lane_sharded,
             recent_returns=replicated,
             recent_count=replicated,
+            # Recurrent act-time carries are per-lane state: shard with
+            # the lanes (empty for carry-less cores).
+            act_state=all_lane(state.act_state),
         )
 
     # ----------------------------------------------------------------- init

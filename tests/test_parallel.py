@@ -71,3 +71,61 @@ class TestMeshRunner:
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
         assert out.shape == (32, 6)
+
+    def test_sharded_recurrent_episodic_runs(self):
+        """Recurrent cores under a mesh: the act-time carry shards with
+        the env lanes (regression: act_state was missing from
+        _state_shardings, so any recurrent core failed to device_put)."""
+        import flax.linen as nn
+        import jax.numpy as jnp
+        import optax
+
+        from pfrl_tpu.action_value import DiscreteActionValue
+        from pfrl_tpu.agents.recurrent_dqn import RecurrentDQNCore
+        from pfrl_tpu.envs import ABC
+        from pfrl_tpu.experiments.runner import OffPolicyRunner, RunnerConfig
+        from pfrl_tpu.explorers import ConstantEpsilonGreedy
+        from pfrl_tpu.models.recurrent import LSTMCellModule
+        from pfrl_tpu.parallel import make_mesh
+        from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+        class RQ(nn.Module):
+            @nn.compact
+            def __call__(self, x, carry):
+                h = nn.relu(nn.Dense(16)(x))
+                h, new_carry = LSTMCellModule(16)(h, carry[0])
+                return DiscreteActionValue(q_values=nn.Dense(2)(h)), (new_carry,)
+
+            def initial_carry(self, batch_size):
+                z = jnp.zeros((batch_size, 16), jnp.float32)
+                return ((z, z),)
+
+        mesh = make_mesh(("dp",), (8,))
+        env = ABC(size=2, partially_observable=True, deterministic=True)
+        core = RecurrentDQNCore(
+            model=RQ(),
+            optimizer=optax.adam(5e-3),
+            explorer=ConstantEpsilonGreedy(0.3, 2),
+            gamma=0.9,
+        )
+        runner = OffPolicyRunner(
+            env,
+            core,
+            EpisodicReplayBuffer(max_episodes=64, max_episode_len=4, num_lanes=16),
+            RunnerConfig(
+                num_envs=16,
+                replay_start_size=16,
+                update_interval=16,
+                target_update_interval=64,
+                minibatch_size=8,
+            ),
+            mesh=mesh,
+        )
+        state = runner.init(jax.random.PRNGKey(0))
+        state, metrics = runner.run_chunk(state, 8)
+        assert np.isfinite(np.asarray(metrics["loss"])).all()
+        # Carry shards over lanes; params replicated.
+        c = jax.tree.leaves(state.act_state)[0]
+        assert "dp" in str(c.sharding.spec)
+        p = jax.tree.leaves(state.train_state.params)[0]
+        assert p.sharding.is_fully_replicated
