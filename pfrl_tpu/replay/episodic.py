@@ -109,6 +109,7 @@ class EpisodicReplayBuffer:
         num_lanes: int = 1,
         subseq_len: Optional[int] = None,
         gamma: float = 0.99,
+        store_carries: bool = True,
     ):
         assert max_episodes > 2 * num_lanes, (
             "need headroom: lanes occupy rows while writing"
@@ -118,6 +119,11 @@ class EpisodicReplayBuffer:
         self.num_lanes = num_lanes
         self.subseq_len = subseq_len
         self.gamma = gamma  # 1-step discount for the flat sample() view
+        # store_carries=False skips the per-step recurrent snapshots
+        # (2 x [E, L, carry] memory — e.g. ~4 GB for a 2048x128 buffer of
+        # 512-unit LSTM carries); replayed windows then warm-start from
+        # zeros, which pairs naturally with RecurrentDQNCore(burn_in=K).
+        self._store_carries = store_carries
 
     @property
     def wants_next_obs(self) -> bool:
@@ -129,7 +135,7 @@ class EpisodicReplayBuffer:
     def stores_carries(self) -> bool:
         """The runner writes per-step recurrent carries into extras for
         buffers advertising this (pfrl/agents/dqn.py:533-543 parity)."""
-        return True
+        return self._store_carries
 
     def configure_lanes(self, num_lanes: int) -> "EpisodicReplayBuffer":
         return EpisodicReplayBuffer(
@@ -138,6 +144,7 @@ class EpisodicReplayBuffer:
             num_lanes,
             subseq_len=self.subseq_len,
             gamma=self.gamma,
+            store_carries=self._store_carries,
         )
 
     # ------------------------------------------------------------------ init

@@ -40,9 +40,14 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
         alpha: float = 1.0,
         eps: float = 1e-3,
         subseq_len=None,
+        store_carries: bool = True,
     ):
         super().__init__(
-            max_episodes, max_episode_len, num_lanes, subseq_len=subseq_len
+            max_episodes,
+            max_episode_len,
+            num_lanes,
+            subseq_len=subseq_len,
+            store_carries=store_carries,
         )
         self.uniform_ratio = uniform_ratio
         self.alpha = alpha
@@ -58,6 +63,7 @@ class PrioritizedEpisodicReplayBuffer(EpisodicReplayBuffer):
             alpha=self.alpha,
             eps=self.eps,
             subseq_len=self.subseq_len,
+            store_carries=self._store_carries,
         )
 
     def init(self, example: Transition) -> PrioritizedEpisodicReplayState:

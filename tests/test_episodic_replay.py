@@ -403,9 +403,13 @@ class TestBurnIn:
         runner = OffPolicyRunner(
             env,
             core,
+            # store_carries=False: the memory-lean mode burn-in exists
+            # for — windows warm-start from zeros and the burn-in prefix
+            # rebuilds the context before the trained tail.
             EpisodicReplayBuffer(
                 max_episodes=256, max_episode_len=12, num_lanes=16,
                 subseq_len=6,  # 2 burn-in + 4 trained steps
+                store_carries=False,
             ),
             RunnerConfig(
                 num_envs=16,
