@@ -45,6 +45,9 @@ class RecurrentDQNCore(DQNCore):
     """
 
     recurrent = True
+    #: update_episodic's aux["errors"] is one |TD| per sampled window —
+    #: the runner may feed it into prioritized episodic trees.
+    reports_window_errors = True
 
     def __init__(self, *args, burn_in: int = 0, **kwargs):
         super().__init__(*args, **kwargs)

@@ -387,8 +387,8 @@ class OffPolicyRunner:
                     # update_errors loop for prioritized episodic replay,
                     # pfrl/replay_buffers/prioritized_episodic.py:60-80):
                     # cores report one error per sampled window.
-                    if hasattr(self.buffer, "update_episode_priorities") and (
-                        jnp.shape(aux["errors"])[0] == cfg.minibatch_size
+                    if hasattr(self.buffer, "update_episode_priorities") and getattr(
+                        self.core, "reports_window_errors", False
                     ):
                         full = self.buffer.update_episode_priorities(
                             full, batch.rows, aux["errors"]
