@@ -81,7 +81,9 @@ def main():
     if run_demo_if_requested(args, evaluator, state.train_state, seed=args.seed):
         return
 
-    steps_per_chunk = max(1, args.eval_interval // args.num_envs)
+    # One scan chunk per eval interval, capped at --steps (a request below
+    # the eval interval runs one right-sized chunk instead of a full one).
+    steps_per_chunk = max(1, min(args.eval_interval, args.steps) // args.num_envs)
     total_chunks = max(1, args.steps // (steps_per_chunk * args.num_envs))
     t0 = time.time()
     for chunk in range(total_chunks):
