@@ -135,3 +135,42 @@ def test_atari_frame_stack_shapes():
     assert obs.shape == (84, 84, 4) and obs.dtype == np.uint8
     o2, _, _, _ = env.step(0)
     assert np.asarray(o2).shape == (84, 84, 4)
+
+
+class TestDelayedCue:
+    def test_cue_reveal_and_reward_timing(self):
+        """The cue channel is nonzero ONLY at reveal_step and the +/-1
+        reward arrives ONLY on the final step (the properties the
+        subsequence-replay A/B proof depends on)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pfrl_tpu.envs import DelayedCue
+
+        env = DelayedCue(episode_len=6, reveal_step=3)
+        for key in (0, 1, 2, 7):
+            state, obs = env.reset(jax.random.PRNGKey(key))
+            cue = int(state.cue)
+            for t in range(6):
+                # Phase one-hot + cue channel shape.
+                assert obs.shape == (7,)
+                np.testing.assert_allclose(np.asarray(obs[:6]).argmax(), t)
+                if t == 3:
+                    assert float(obs[6]) == 2.0 * cue - 1.0
+                else:
+                    assert float(obs[6]) == 0.0
+                action = jnp.asarray(cue if t == 5 else 1 - cue, jnp.int32)
+                state, ts = env.step(jax.random.PRNGKey(0), state, action)
+                obs = ts.obs
+                if t < 5:
+                    assert float(ts.reward) == 0.0 and not bool(ts.terminated)
+                else:
+                    assert float(ts.reward) == 1.0 and bool(ts.terminated)
+        # Wrong final action is penalized.
+        state, obs = env.reset(jax.random.PRNGKey(3))
+        cue = int(state.cue)
+        for t in range(5):
+            state, ts = env.step(jax.random.PRNGKey(0), state, jnp.asarray(0))
+        state, ts = env.step(jax.random.PRNGKey(0), state, jnp.asarray(1 - cue))
+        assert float(ts.reward) == -1.0 and bool(ts.terminated)
