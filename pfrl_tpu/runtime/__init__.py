@@ -40,19 +40,25 @@ def _so_path() -> str:
 
 
 def _build(so: str) -> bool:
-    cmd = [
+    base = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-fno-math-errno", "-funroll-loops",
-        _CSRC, "-o", so,
     ]
-    try:
-        subprocess.run(
-            cmd, check=True, capture_output=True, text=True, timeout=120
-        )
-        return True
-    except (OSError, subprocess.SubprocessError) as e:
-        _logger.info("native frame_ops build failed (%s); using numpy", e)
-        return False
+    # -march=native is safe here: the library is (re)built on the machine
+    # that runs it (cache keyed by source mtime), and it lets the
+    # compiler vectorize the luma/resize loops with whatever SIMD the
+    # host actually has. Fall back to the portable build if it fails.
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                base + extra + [_CSRC, "-o", so],
+                check=True, capture_output=True, text=True, timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError) as e:
+            err = e
+    _logger.info("native frame_ops build failed (%s); using numpy", err)
+    return False
 
 
 def _load():
