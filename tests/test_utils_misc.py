@@ -167,3 +167,57 @@ class TestMonitorVideo:
             env.step(0)
         env.close()
         assert not [p for p in tmp_path.iterdir() if p.suffix == ".avi"]
+
+
+class TestDemoCli:
+    def test_resolve_train_state_path(self, tmp_path):
+        from pfrl_tpu.experiments.demo_cli import resolve_train_state_path
+
+        direct = tmp_path / "train_state.msgpack"
+        direct.write_bytes(b"x")
+        # A file path passes through; a directory resolves its file; a zoo
+        # entry resolves best/train_state.msgpack.
+        assert resolve_train_state_path(str(direct)) == str(direct)
+        assert resolve_train_state_path(str(tmp_path)) == str(direct)
+        zoo = tmp_path / "zooentry"
+        (zoo / "best").mkdir(parents=True)
+        f = zoo / "best" / "train_state.msgpack"
+        f.write_bytes(b"x")
+        assert resolve_train_state_path(str(zoo)) == str(f)
+        import pytest as _pytest
+
+        empty = tmp_path / "empty_dir"
+        empty.mkdir()
+        with _pytest.raises(FileNotFoundError):
+            resolve_train_state_path(str(empty))
+        # A non-directory path passes through untouched (existence is the
+        # loader's problem, matching open() semantics).
+        assert resolve_train_state_path("nope.msgpack") == "nope.msgpack"
+
+    def test_save_and_load_round_trip(self, tmp_path):
+        import numpy as np
+
+        import jax
+
+        from pfrl_tpu.experiments.demo_cli import (
+            maybe_load_train_state,
+            save_train_state_if_requested,
+        )
+
+        class Box:
+            def __init__(self, train_state):
+                self.train_state = train_state
+
+            def replace(self, train_state):
+                return Box(train_state)
+
+        ts = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+        path = save_train_state_if_requested(ts, str(tmp_path / "ck"))
+        assert path and path.endswith("train_state.msgpack")
+        template = Box({"w": np.zeros((2, 3), np.float32)})
+        loaded = maybe_load_train_state(template, str(tmp_path / "ck"))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(loaded.train_state["w"])), ts["w"]
+        )
+        # No-op without a path.
+        assert maybe_load_train_state(template, None) is template
