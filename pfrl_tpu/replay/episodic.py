@@ -96,10 +96,11 @@ class EpisodicReplayBuffer:
     ``subseq_len``: default window length for :meth:`sample_episodes`
     (the reference's ``episodic_update_len``). None replays whole rows.
 
-    Capacity sizing: a lane holds a row for at most ``max_episode_len``
-    steps before sealing it, so ``max_episodes`` rows of headroom
-    comfortably above ``2 * num_lanes`` keeps recycled rows from colliding
-    with rows lanes are still writing.
+    Row ownership: each lane recycles within a private contiguous ring of
+    ``max_episodes // num_lanes`` rows, so lanes can never collide on a
+    row regardless of episode-length skew; ``max_episodes`` should be
+    comfortably above ``2 * num_lanes`` so every lane keeps sealed rows
+    sampleable while writing its next one.
     """
 
     def __init__(
@@ -162,7 +163,8 @@ class EpisodicReplayBuffer:
             storage=storage,
             ep_len=jnp.zeros((E,), jnp.int32),
             finished=jnp.zeros((E,), bool),
-            lane_row=jnp.arange(self.num_lanes, dtype=jnp.int32),
+            lane_row=jnp.arange(self.num_lanes, dtype=jnp.int32)
+            * (E // self.num_lanes),
             n_started=jnp.asarray(self.num_lanes, jnp.int32),
             item_shapes=jax.tree.map(
                 lambda x: ItemShape(jnp.shape(x)), example
@@ -194,9 +196,13 @@ class EpisodicReplayBuffer:
         filled = new_pos >= self.max_episode_len
         seal = ended | filled
         finished = state.finished.at[rows].set(state.finished[rows] | seal)
-        # Assign fresh rows to lanes whose row sealed.
-        n_new = jnp.cumsum(seal.astype(jnp.int32))
-        new_rows = (state.n_started + n_new - 1) % self.max_episodes
+        # Each lane owns a private contiguous ring of rows_per_lane rows,
+        # so recycling can NEVER hand a lane a row another lane is still
+        # writing (the old shared n_started ring could collide after
+        # wrap-around and silently corrupt an in-progress episode).
+        rpl = self.max_episodes // lanes
+        base = jnp.arange(lanes, dtype=jnp.int32) * rpl
+        new_rows = base + (rows - base + 1) % rpl
         next_rows = jnp.where(seal, new_rows, rows)
         # Recycle: the incoming rows start empty and unsealed.
         ep_len = ep_len.at[next_rows].set(
@@ -205,12 +211,13 @@ class EpisodicReplayBuffer:
         finished = finished.at[next_rows].set(
             jnp.where(seal, False, finished[next_rows])
         )
+        n_new = jnp.sum(seal.astype(jnp.int32))
         return state.replace(
             storage=storage,
             ep_len=ep_len,
             finished=finished,
             lane_row=next_rows,
-            n_started=state.n_started + n_new[-1] if lanes else state.n_started,
+            n_started=state.n_started + n_new,
         )
 
     # ---------------------------------------------------------------- sample

@@ -531,3 +531,25 @@ class TestPrioritizedEpisodicFeedback:
         evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=4)
         returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
         assert np.all(np.asarray(returns) >= 1.0), returns
+
+
+class TestLaneRowPartitioning:
+    def test_lanes_never_share_rows(self):
+        """Each lane recycles inside its private row ring — heavy
+        episode-length skew cannot make one lane clobber another's
+        in-progress row (the old shared ring could after wrap-around)."""
+        buf = EpisodicReplayBuffer(max_episodes=8, max_episode_len=3, num_lanes=2)
+        state = buf.init(jax.tree.map(lambda x: x[0], step_batch([0, 0], [0, 0])))
+        rng = np.random.RandomState(0)
+        for i in range(200):
+            # Lane 0: episodes end often; lane 1: one endless episode
+            # (chunk-rotates through its ring repeatedly).
+            dones = [bool(rng.rand() < 0.5), False]
+            state = buf.add(state, step_batch([i, 1000 + i], dones))
+            rows = np.asarray(state.lane_row)
+            assert 0 <= rows[0] < 4, rows
+            assert 4 <= rows[1] < 8, rows
+        # Lane-1 data only ever lands in its partition.
+        rewards = np.asarray(state.storage.reward)
+        lane1_vals = rewards[4:][np.asarray(state.ep_len)[4:] > 0]
+        assert (lane1_vals[lane1_vals > 0] >= 1000).all()
