@@ -145,6 +145,7 @@ def test_round4_zoo_entries_resolve():
         "reinforce/cartpole",
         "acer_continuous/abc",
         "rainbow/cartpole",
+        "dqn_bf16/cartpole",
     ):
         assert name in models, models
         alg, env = name.split("/")
