@@ -18,14 +18,11 @@ buffer stored no carries fall back to zero carries (exact for windows at
 t=0).
 """
 
-from typing import Any, Callable
-
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
-from pfrl_tpu.agents.dqn import DQNCore, DQNState, _identity
+from pfrl_tpu.agents.dqn import DQNCore, DQNState
 from pfrl_tpu.ops.value_loss import huber_loss
 from pfrl_tpu.replay.episodic import EpisodeBatch
 from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
