@@ -17,6 +17,7 @@ from pfrl_tpu.agent import AttributeSavingMixin, BatchAgent
 from pfrl_tpu.ops.value_loss import compute_value_loss
 from pfrl_tpu.replay.transition import TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
+from pfrl_tpu.utils.precision import apply_cast
 
 
 @struct.dataclass
@@ -50,6 +51,7 @@ class DDPGCore:
         phi: Callable = _identity,
         burnin_action_func: Optional[Callable] = None,
         burnin_steps: int = 0,
+        compute_dtype: Optional[Any] = None,
     ):
         self.policy = policy
         self.q_func = q_func
@@ -63,6 +65,10 @@ class DDPGCore:
         self.phi = phi
         self.burnin_action_func = burnin_action_func
         self.burnin_steps = burnin_steps
+        # Mixed precision (TPU-native; see utils/precision.py): bf16
+        # actor/critic forward+backward over fp32 masters; TD targets,
+        # losses, and optimizer updates stay fp32.
+        self.compute_dtype = compute_dtype
 
     # ----------------------------------------------------------------- setup
     def init(self, rng: jax.Array, example_obs, example_action) -> ActorCriticState:
@@ -82,7 +88,10 @@ class DDPGCore:
 
     # ------------------------------------------------------------------- act
     def policy_dist(self, params, obs):
-        return self.policy.apply(params, self.phi(obs))
+        return apply_cast(self.policy, params, self.compute_dtype, self.phi(obs))
+
+    def _q(self, params, x, a):
+        return apply_cast(self.q_func, params, self.compute_dtype, x, a)
 
     def select_action(self, state, rng, obs, t, training: bool):
         dist = self.policy_dist(state.policy_params, obs)
@@ -103,23 +112,21 @@ class DDPGCore:
     def target_next_q(self, state, rng, batch: TransitionBatch):
         next_dist = self.policy_dist(state.target_policy_params, batch.next_obs)
         next_a = next_dist.mode()
-        return self.q_func.apply(
-            state.target_q_params, self.phi(batch.next_obs), next_a
-        )
+        return self._q(state.target_q_params, self.phi(batch.next_obs), next_a)
 
     def critic_loss(self, q_params, state, rng, batch: TransitionBatch):
         next_q = self.target_next_q(state, rng, batch)
         t = batch.reward + batch.discount * (
             1.0 - batch.is_terminal.astype(jnp.float32)
         ) * jax.lax.stop_gradient(next_q)
-        y = self.q_func.apply(q_params, self.phi(batch.obs), batch.action)
+        y = self._q(q_params, self.phi(batch.obs), batch.action)
         loss = compute_value_loss(y, t, clip_delta=self.clip_delta)
         return loss, jnp.abs(y - t)
 
     def actor_loss(self, policy_params, state, rng, batch: TransitionBatch):
-        dist = self.policy.apply(policy_params, self.phi(batch.obs))
+        dist = self.policy_dist(policy_params, batch.obs)
         onpolicy_a = dist.mode()
-        q = self.q_func.apply(state.q_params, self.phi(batch.obs), onpolicy_a)
+        q = self._q(state.q_params, self.phi(batch.obs), onpolicy_a)
         return -jnp.mean(q)
 
     def update(self, state: ActorCriticState, rng: jax.Array, batch: TransitionBatch):
@@ -346,6 +353,7 @@ class DDPG(ActorCriticShellAgent):
         n_times_update=1,
         burnin_action_func=None,
         burnin_steps=0,
+        compute_dtype=None,
         seed=0,
     ):
         del gpu
@@ -361,6 +369,7 @@ class DDPG(ActorCriticShellAgent):
             phi=phi,
             burnin_action_func=burnin_action_func,
             burnin_steps=burnin_steps,
+            compute_dtype=compute_dtype,
         )
         super().__init__(
             core,

@@ -25,6 +25,7 @@ from flax import struct
 
 from pfrl_tpu.agent import AttributeSavingMixin, BatchAgent
 from pfrl_tpu.ops.returns import gae_advantages
+from pfrl_tpu.utils.precision import apply_cast
 from pfrl_tpu.utils.stats import RunningStats
 
 
@@ -77,6 +78,7 @@ class PPOCore:
         standardize_advantages: bool = True,
         max_grad_norm: Optional[float] = None,
         phi: Callable = _identity,
+        compute_dtype: Optional[Any] = None,
     ):
         self.model = model
         self.optimizer = (
@@ -94,6 +96,11 @@ class PPOCore:
         self.minibatch_size = minibatch_size
         self.standardize_advantages = standardize_advantages
         self.phi = phi
+        # Mixed precision (TPU-native; see utils/precision.py): bf16
+        # shared-net forward+backward over fp32 masters. The distribution
+        # params and value come back fp32, so log-prob ratios, GAE, and
+        # the clipped losses are full precision.
+        self.compute_dtype = compute_dtype
 
     # ----------------------------------------------------------------- setup
     def init(self, rng: jax.Array, example_obs, example_action=None) -> PPOState:
@@ -107,7 +114,9 @@ class PPOCore:
 
     # ------------------------------------------------------------------- act
     def forward(self, params, obs):
-        dist, value = self.model.apply(params, self.phi(obs))
+        dist, value = apply_cast(
+            self.model, params, self.compute_dtype, self.phi(obs)
+        )
         value = value[..., 0] if value.ndim > 1 else value
         return dist, value
 
@@ -398,6 +407,7 @@ class PPO(OnPolicyShellAgent):
         clip_eps_vf=None,
         standardize_advantages: bool = True,
         max_grad_norm=None,
+        compute_dtype=None,
         seed: int = 0,
     ):
         del gpu
@@ -415,5 +425,6 @@ class PPO(OnPolicyShellAgent):
             standardize_advantages=standardize_advantages,
             max_grad_norm=max_grad_norm,
             phi=phi,
+            compute_dtype=compute_dtype,
         )
         super().__init__(core, update_interval=update_interval, seed=seed)

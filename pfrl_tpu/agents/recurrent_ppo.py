@@ -22,6 +22,7 @@ import optax
 
 from pfrl_tpu.agents.ppo import PPOCore, PPOState, Rollout
 from pfrl_tpu.ops.returns import gae_advantages
+from pfrl_tpu.utils.precision import cast_floating, cast_to_float32
 from pfrl_tpu.utils.pytree import tree_where
 
 
@@ -62,8 +63,17 @@ class RecurrentPPOCore(PPOCore):
     # ------------------------------------------------------------------- act
     def _forward_step(self, params, obs, carry):
         (dist, value), new_carry = self.model.apply(
-            params, self.phi(obs), carry
+            cast_floating(params, self.compute_dtype),
+            cast_floating(self.phi(obs), self.compute_dtype),
+            carry,
         )
+        if self.compute_dtype is not None:
+            # Outputs back to fp32 for loss/GAE math; the carry is kept
+            # fp32 end-to-end (same contract as RecurrentDQNCore — the
+            # fp32 carry input promotes the cell state).
+            dist, value, new_carry = cast_to_float32(
+                (dist, value, new_carry)
+            )
         value = value[..., 0] if value.ndim > 1 else value
         return dist, value, new_carry
 

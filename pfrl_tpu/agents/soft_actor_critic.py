@@ -17,6 +17,7 @@ from pfrl_tpu.agents.ddpg import ActorCriticShellAgent, _identity
 from pfrl_tpu.ops.value_loss import compute_value_loss
 from pfrl_tpu.replay.transition import TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
+from pfrl_tpu.utils.precision import apply_cast, cast_floating, cast_to_float32
 
 
 def _twin_compatible(p1, p2) -> bool:
@@ -68,6 +69,7 @@ class SACCore:
         phi: Callable = _identity,
         burnin_action_func: Optional[Callable] = None,
         burnin_steps: int = 0,
+        compute_dtype: Optional[Any] = None,
     ):
         self.policy = policy
         self.q_func1 = q_func1
@@ -87,6 +89,11 @@ class SACCore:
         self.target_update_method = "soft"
         self.explorer = None
         self._twin_fused = False
+        # Mixed precision (TPU-native; see utils/precision.py): bf16
+        # policy/critic applies over fp32 masters. The temperature, soft
+        # Bellman targets, log-probs, and losses stay fp32 (the policy's
+        # tanh-squash log-prob comes back up-cast before any loss math).
+        self.compute_dtype = compute_dtype
 
     def init(self, rng, example_obs, example_action) -> SACState:
         rng_p, rng_q1, rng_q2 = jax.random.split(rng, 3)
@@ -110,8 +117,11 @@ class SACCore:
             n_updates=jnp.zeros((), jnp.int32),
         )
 
+    def _policy_dist(self, params, obs):
+        return apply_cast(self.policy, params, self.compute_dtype, self.phi(obs))
+
     def select_action(self, state, rng, obs, t, training: bool):
-        dist = self.policy.apply(state.policy_params, self.phi(obs))
+        dist = self._policy_dist(state.policy_params, obs)
         if not training:
             return dist.mode()
         rng_s, rng_burn = jax.random.split(rng)
@@ -133,16 +143,23 @@ class SACCore:
         op count (the SAC/TD3 update at MuJoCo shapes is op-count-bound,
         not FLOP-bound, on TPU).
         """
+        dt = self.compute_dtype
+        x, a = cast_floating(x, dt), cast_floating(a, dt)
         if self._twin_fused:
             y = jax.vmap(lambda p: self.q_func1.apply(p, x, a))(
-                _stack_pair(p1, p2)
+                cast_floating(_stack_pair(p1, p2), dt)
             )
+            y = cast_to_float32(y) if dt is not None else y
             return y[0], y[1]
-        return self.q_func1.apply(p1, x, a), self.q_func2.apply(p2, x, a)
+        y1 = self.q_func1.apply(cast_floating(p1, dt), x, a)
+        y2 = self.q_func2.apply(cast_floating(p2, dt), x, a)
+        if dt is not None:
+            y1, y2 = cast_to_float32(y1), cast_to_float32(y2)
+        return y1, y2
 
     def critic_losses(self, q1_params, q2_params, state, rng, batch):
         """Soft Bellman targets (soft_actor_critic.py:214-262)."""
-        next_dist = self.policy.apply(state.policy_params, self.phi(batch.next_obs))
+        next_dist = self._policy_dist(state.policy_params, batch.next_obs)
         next_a, next_log_pi = next_dist.sample_and_log_prob(rng)
         temp = jnp.exp(state.log_temperature)
         nx = self.phi(batch.next_obs)
@@ -165,7 +182,7 @@ class SACCore:
     def actor_and_temp_loss(self, policy_params, log_temp, state, rng, batch):
         """rsample policy loss + temperature loss
         (soft_actor_critic.py:264-308)."""
-        dist = self.policy.apply(policy_params, self.phi(batch.obs))
+        dist = self._policy_dist(policy_params, batch.obs)
         a, log_pi = dist.sample_and_log_prob(rng)
         x = self.phi(batch.obs)
         q = jnp.minimum(
@@ -266,6 +283,7 @@ class SoftActorCritic(ActorCriticShellAgent):
         entropy_target=None,
         burnin_action_func=None,
         burnin_steps=0,
+        compute_dtype=None,
         seed=0,
     ):
         del gpu
@@ -290,6 +308,7 @@ class SoftActorCritic(ActorCriticShellAgent):
             phi=phi,
             burnin_action_func=burnin_action_func,
             burnin_steps=burnin_steps,
+            compute_dtype=compute_dtype,
         )
         super().__init__(
             core,

@@ -18,6 +18,7 @@ from pfrl_tpu.agents.soft_actor_critic import _stack_pair, _twin_compatible
 from pfrl_tpu.ops.value_loss import compute_value_loss
 from pfrl_tpu.replay.transition import TransitionBatch
 from pfrl_tpu.utils.copy_param import soft_copy_param
+from pfrl_tpu.utils.precision import apply_cast, cast_floating, cast_to_float32
 
 
 @struct.dataclass
@@ -57,6 +58,7 @@ class TD3Core:
         phi: Callable = _identity,
         burnin_action_func: Optional[Callable] = None,
         burnin_steps: int = 0,
+        compute_dtype: Optional[Any] = None,
     ):
         self.policy = policy
         self.q_func1 = q_func1
@@ -74,6 +76,10 @@ class TD3Core:
         self.burnin_steps = burnin_steps
         self.target_update_method = "soft"
         self._twin_fused = False
+        # Mixed precision (TPU-native; see utils/precision.py): bf16
+        # actor/critic applies over fp32 masters; smoothing noise, TD
+        # targets, and losses stay fp32.
+        self.compute_dtype = compute_dtype
 
     def init(self, rng, example_obs, example_action) -> TD3State:
         rng_p, rng_q1, rng_q2 = jax.random.split(rng, 3)
@@ -95,8 +101,11 @@ class TD3Core:
             n_updates=jnp.zeros((), jnp.int32),
         )
 
+    def _policy_dist(self, params, obs):
+        return apply_cast(self.policy, params, self.compute_dtype, self.phi(obs))
+
     def select_action(self, state, rng, obs, t, training: bool):
-        dist = self.policy.apply(state.policy_params, self.phi(obs))
+        dist = self._policy_dist(state.policy_params, obs)
         greedy = dist.mode()
         if not training:
             return greedy
@@ -117,17 +126,22 @@ class TD3Core:
     def _apply_twin(self, p1, p2, x, a):
         """One vmapped stacked apply for identical twin critics (see
         SACCore._apply_twin — halves the op count of the critic path)."""
+        dt = self.compute_dtype
+        x, a = cast_floating(x, dt), cast_floating(a, dt)
         if self._twin_fused:
             y = jax.vmap(lambda p: self.q_func1.apply(p, x, a))(
-                _stack_pair(p1, p2)
+                cast_floating(_stack_pair(p1, p2), dt)
             )
+            y = cast_to_float32(y) if dt is not None else y
             return y[0], y[1]
-        return self.q_func1.apply(p1, x, a), self.q_func2.apply(p2, x, a)
+        y1 = self.q_func1.apply(cast_floating(p1, dt), x, a)
+        y2 = self.q_func2.apply(cast_floating(p2, dt), x, a)
+        if dt is not None:
+            y1, y2 = cast_to_float32(y1), cast_to_float32(y2)
+        return y1, y2
 
     def critic_losses(self, q1_params, q2_params, state, rng, batch):
-        next_dist = self.policy.apply(
-            state.target_policy_params, self.phi(batch.next_obs)
-        )
+        next_dist = self._policy_dist(state.target_policy_params, batch.next_obs)
         next_a = self.smoothing(rng, next_dist.mode())
         nx = self.phi(batch.next_obs)
         next_q = jnp.minimum(
@@ -146,8 +160,14 @@ class TD3Core:
         return loss, jnp.abs(y1 - t)
 
     def actor_loss(self, policy_params, state, batch):
-        dist = self.policy.apply(policy_params, self.phi(batch.obs))
-        q = self.q_func1.apply(state.q1_params, self.phi(batch.obs), dist.mode())
+        dist = self._policy_dist(policy_params, batch.obs)
+        q = apply_cast(
+            self.q_func1,
+            state.q1_params,
+            self.compute_dtype,
+            self.phi(batch.obs),
+            dist.mode(),
+        )
         return -jnp.mean(q)
 
     def update(self, state: TD3State, rng, batch: TransitionBatch):
@@ -232,6 +252,7 @@ class TD3(ActorCriticShellAgent):
         target_policy_smoothing_func=default_target_policy_smoothing_func,
         burnin_action_func=None,
         burnin_steps=0,
+        compute_dtype=None,
         seed=0,
     ):
         del gpu
@@ -250,6 +271,7 @@ class TD3(ActorCriticShellAgent):
             phi=phi,
             burnin_action_func=burnin_action_func,
             burnin_steps=burnin_steps,
+            compute_dtype=compute_dtype,
         )
         super().__init__(
             core,

@@ -31,6 +31,26 @@ def cast_floating(tree: Any, dtype: Optional[Any]) -> Any:
     )
 
 
+def apply_cast(module, params, dtype: Optional[Any], *args, **kwargs) -> Any:
+    """Run ``module.apply`` with bf16 (or any ``dtype``) compute.
+
+    Floating leaves of ``params`` and the positional inputs are cast down
+    at the apply boundary and the output pytree is cast back to float32,
+    so callers' loss/TD math stays full precision. ``dtype=None`` is the
+    plain fp32 apply. The casts are part of the traced computation, so
+    gradients flow back to the float32 masters (the down-cast's VJP is an
+    up-cast) and XLA emits bf16 convs/matmuls with fp32 accumulation.
+    """
+    if dtype is None:
+        return module.apply(params, *args, **kwargs)
+    out = module.apply(
+        cast_floating(params, dtype),
+        *(cast_floating(a, dtype) for a in args),
+        **kwargs,
+    )
+    return cast_to_float32(out)
+
+
 def cast_to_float32(tree: Any) -> Any:
     """Cast low-precision floating leaves back up to float32 (for loss
     math, TD targets, and anything numerically delicate)."""

@@ -196,6 +196,207 @@ def test_bf16_recurrent_dqn_learns_delayed_cue():
     assert np.mean(returns) >= 0.9, returns
 
 
+def _sac_core(compute_dtype=None):
+    from pfrl_tpu.agents.soft_actor_critic import SACCore
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import SquashedGaussianHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+
+    class SacPolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = MLP(out_size=4, hidden_sizes=(32,))(x)
+            return SquashedGaussianHead(action_size=2)(h)
+
+    return SACCore(
+        policy=SacPolicy(),
+        q_func1=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        q_func2=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        policy_optimizer=optax.adam(1e-2),
+        q_func1_optimizer=optax.adam(1e-2),
+        q_func2_optimizer=optax.adam(1e-2),
+        gamma=0.9,
+        entropy_target=-2.0,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _td3_core(compute_dtype=None):
+    from pfrl_tpu.agents.td3 import TD3Core
+    from pfrl_tpu.explorers import AdditiveGaussian
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import DeterministicHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+
+    class DetPolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return DeterministicHead()(
+                jnp.tanh(MLP(out_size=2, hidden_sizes=(32,))(x))
+            )
+
+    return TD3Core(
+        policy=DetPolicy(),
+        q_func1=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        q_func2=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        policy_optimizer=optax.adam(1e-3),
+        q_func1_optimizer=optax.adam(1e-2),
+        q_func2_optimizer=optax.adam(1e-2),
+        explorer=AdditiveGaussian(0.3, low=-1.0, high=1.0),
+        gamma=0.9,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _ddpg_core(compute_dtype=None):
+    from pfrl_tpu.agents.ddpg import DDPGCore
+    from pfrl_tpu.explorers import AdditiveGaussian
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import DeterministicHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+
+    class DetPolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return DeterministicHead()(
+                jnp.tanh(MLP(out_size=2, hidden_sizes=(32,))(x))
+            )
+
+    return DDPGCore(
+        policy=DetPolicy(),
+        q_func=FCSAQFunction(n_hidden_channels=32, n_hidden_layers=1),
+        policy_optimizer=optax.adam(1e-2),
+        q_optimizer=optax.adam(1e-2),
+        explorer=AdditiveGaussian(0.3, low=-1.0, high=1.0),
+        gamma=0.9,
+        compute_dtype=compute_dtype,
+    )
+
+
+@pytest.mark.parametrize(
+    "factory", [_sac_core, _td3_core, _ddpg_core], ids=["sac", "td3", "ddpg"]
+)
+def test_bf16_actor_critic_forward_parity(factory):
+    """Actor-critic cores honor compute_dtype: bf16 eval-mode actions match
+    fp32's to bf16 tolerance on the SAME fp32 master params, and come back
+    float32."""
+    fp32, bf16 = factory(None), factory(jnp.bfloat16)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+    act = jnp.zeros((8, 2), jnp.float32)
+    state = fp32.init(jax.random.PRNGKey(0), obs, act)
+    bf16.init(jax.random.PRNGKey(0), obs, act)  # sets _twin_fused
+    t = jnp.zeros((), jnp.int32)
+    a32 = fp32.select_action(state, jax.random.PRNGKey(2), obs, t, False)
+    a16 = bf16.select_action(state, jax.random.PRNGKey(2), obs, t, False)
+    assert a16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(a32), np.asarray(a16), rtol=3e-2, atol=3e-2
+    )
+
+
+@pytest.mark.parametrize(
+    "factory", [_sac_core, _td3_core, _ddpg_core], ids=["sac", "td3", "ddpg"]
+)
+def test_bf16_actor_critic_masters_stay_fp32(factory):
+    """One bf16 update step: every param/optimizer leaf stays float32 and
+    the critics actually move (the twin-fused stacked apply keeps grads
+    flowing through the down-cast)."""
+    from pfrl_tpu.replay.transition import TransitionBatch
+
+    core = factory(jnp.bfloat16)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+    act = jax.random.uniform(
+        jax.random.PRNGKey(4), (8, 2), minval=-1.0, maxval=1.0
+    )
+    state = core.init(jax.random.PRNGKey(0), obs, act)
+    batch = TransitionBatch(
+        obs=obs,
+        action=act,
+        reward=jnp.ones((8,), jnp.float32),
+        next_obs=obs + 0.1,
+        discount=jnp.full((8,), 0.9),
+        is_terminal=jnp.zeros((8,), bool),
+        weight=jnp.ones((8,), jnp.float32),
+        indices=jnp.arange(8),
+    )
+    new_state, aux = core.update(state, jax.random.PRNGKey(3), batch)
+    for leaf in jax.tree.leaves(new_state):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(float(aux["loss"]))
+    moved = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(new_state))
+        if jnp.issubdtype(a.dtype, jnp.floating)
+    )
+    assert moved
+
+
+def test_bf16_sac_learns_continuous_abc():
+    """Curve-parity gate for the actor-critic family: SAC with bf16 compute
+    still solves the continuous ABC chain (same config as the fp32 matrix
+    entry in tests/agents_tests/test_continuous.py)."""
+    from pfrl_tpu.replay import ReplayBuffer
+    from tests.agents_tests.basetest_training import (
+        assert_optimal,
+        train_core_on_abc,
+    )
+    from tests.agents_tests.test_continuous import (
+        _BURNIN_STEPS,
+        _sac_factory,
+    )
+
+    def factory(env):
+        core = _sac_factory(env)
+        core.compute_dtype = jnp.bfloat16
+        return core
+
+    _, _, returns = train_core_on_abc(
+        factory,
+        lambda lanes: ReplayBuffer(4096, gamma=0.9, num_lanes=lanes),
+        discrete=False,
+        size=2,
+        steps=800,
+        replay_start_size=_BURNIN_STEPS,
+    )
+    assert_optimal(returns)
+
+
+def test_bf16_ppo_learns_abc():
+    """On-policy family honors compute_dtype: bf16 PPO solves ABC on the
+    on-device runner (log-prob ratios and GAE stay fp32)."""
+    from pfrl_tpu.agents.ppo import PPOCore
+    from pfrl_tpu.envs import ABC
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.experiments.runner import JaxEvalLoop
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    class PiV(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.tanh(nn.Dense(32)(x))
+            return (
+                SoftmaxCategoricalHead()(nn.Dense(2)(h)),
+                nn.Dense(1)(h),
+            )
+
+    env = ABC(size=2, deterministic=True)
+    core = PPOCore(
+        PiV(),
+        optax.adam(5e-3),
+        gamma=0.9,
+        epochs=4,
+        minibatch_size=16,
+        compute_dtype=jnp.bfloat16,
+    )
+    runner = OnPolicyRunner(env, core, num_envs=16, rollout_len=16)
+    state = runner.init(jax.random.PRNGKey(0))
+    state, _ = runner.run_iterations(state, 40)
+    evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=3)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+    assert np.all(returns >= 1.0), returns
+
+
 def test_bf16_c51_learns_abc():
     """Distributional cores inherit the cast boundary from
     DQNCore.action_value: C51 with bf16 compute still solves ABC (the
