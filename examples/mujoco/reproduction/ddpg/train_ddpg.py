@@ -56,6 +56,8 @@ def main():
     parser.add_argument("--eval-interval", type=int, default=5000)
     parser.add_argument("--replay-start-size", type=int, default=10_000)
     parser.add_argument("--outdir", default="results/ddpg")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
@@ -79,6 +81,7 @@ def main():
         soft_update_tau=5e-3,
         burnin_action_func=functools.partial(burnin, action_size),
         burnin_steps=args.replay_start_size,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:

@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import optax
 
+import jax.numpy as jnp
+
 from pfrl_tpu import experiments
 from pfrl_tpu.agents.ppo import PPO, PPOCore
 from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
@@ -72,6 +74,7 @@ def run_device(args):
         epochs=10,
         minibatch_size=64,
         clip_eps=0.2,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     runner = OnPolicyRunner(
         TimeLimit(Pendulum()), core, num_envs=args.num_envs, rollout_len=128
@@ -110,6 +113,8 @@ def main():
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--eval-interval", type=int, default=100_000)
     parser.add_argument("--outdir", default="results/ppo")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser)
     args = parser.parse_args()
 
@@ -132,6 +137,7 @@ def main():
         clip_eps=0.2,
         entropy_coef=0.0,
         standardize_advantages=True,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:
