@@ -146,6 +146,7 @@ def test_round4_zoo_entries_resolve():
         "acer_continuous/abc",
         "rainbow/cartpole",
         "dqn_bf16/cartpole",
+        "rppo/delayed_cue",
     ):
         assert name in models, models
         alg, env = name.split("/")

@@ -859,6 +859,70 @@ def run_drqn_delayed_cue():
     )
 
 
+def run_rppo_delayed_cue():
+    """Recurrent PPO on DelayedCue — on-policy recurrent evidence to pair
+    with the off-policy drqn_delayed_cue curve: the cue is revealed at
+    t=8 and acted on at t=11, so only an agent whose carry threads
+    through collection AND the chunked TBPTT update (reference
+    ppo.py:145-178 recurrent path) can score 1.0."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentPPOCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    steps, num_envs, rollout = 120_000, 16, 24
+
+    class RPiV(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            dist = SoftmaxCategoricalHead()(nn.Dense(2)(h))
+            v = nn.Dense(1)(h)
+            return (dist, v), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentPPOCore(
+        RPiV(),
+        optax.adam(5e-3),
+        gamma=0.95,
+        epochs=4,
+        minibatch_size=16,
+        entropy_coef=1e-2,
+        chunk_len=4,
+    )
+    runner = OnPolicyRunner(env, core, num_envs, rollout)
+    # One eval per rollout iteration: the policy solves the cue within a
+    # few thousand steps, so a coarse schedule would hide the climb.
+    iters_per_eval = 1
+    return _curve_loop(
+        "rppo_delayed_cue",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=32, max_steps=12),
+        steps=steps,
+        eval_every=num_envs * rollout,
+        zoo_entry=("rppo", "delayed_cue"),
+        successful_score=1.0,
+        min_rows=6,
+        run_chunk=lambda s: runner.run_iterations(s, iters_per_eval)[0],
+        seed=1,
+    )
+
+
 def run_rainbow_cartpole():
     """Rainbow-style combo on CartPole: C51 + DoubleDQN targets + dueling
     noisy head + proportional PER + 3-step returns — the full stack the
@@ -1159,6 +1223,7 @@ RUNS = {
     "trpo_pendulum": run_trpo_pendulum,
     "acer_abc": run_acer_abc,
     "drqn_delayed_cue": run_drqn_delayed_cue,
+    "rppo_delayed_cue": run_rppo_delayed_cue,
     "rainbow_cartpole": run_rainbow_cartpole,
     "acer_continuous_abc": run_acer_continuous_abc,
     "al_cartpole": run_al_cartpole,
