@@ -221,3 +221,23 @@ class TestDemoCli:
         )
         # No-op without a path.
         assert maybe_load_train_state(template, None) is template
+
+
+def test_testing_helpers_accept_jax_and_trees():
+    """pfrl/testing.py parity: allclose over arrays, nested lists, and
+    flax-style param trees."""
+    import numpy as np
+    import pytest
+
+    import jax.numpy as jnp
+
+    from pfrl_tpu.testing import jax_assert_allclose, tree_assert_allclose
+
+    jax_assert_allclose(jnp.ones(3), np.ones(3))
+    jax_assert_allclose([jnp.zeros(2), jnp.ones(2)], [np.zeros(2), np.ones(2)])
+    tree_assert_allclose(
+        {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)},
+        {"w": np.ones((2, 2)), "b": np.zeros(2)},
+    )
+    with pytest.raises(AssertionError):
+        jax_assert_allclose(jnp.ones(3), np.zeros(3))
