@@ -241,3 +241,27 @@ def test_testing_helpers_accept_jax_and_trees():
     )
     with pytest.raises(AssertionError):
         jax_assert_allclose(jnp.ones(3), np.zeros(3))
+
+
+def test_bound_by_tanh():
+    """Reference parity (pfrl/functions/bound_by_tanh.py): range hits
+    [low, high] exactly in the tails, stays differentiable, broadcasts
+    per-dimension bounds."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pfrl_tpu.functions import bound_by_tanh
+
+    x = jnp.linspace(-10.0, 10.0, 7)
+    y = bound_by_tanh(x, -2.0, 4.0)
+    assert float(y.min()) >= -2.0 and float(y.max()) <= 4.0
+    np.testing.assert_allclose(float(y[0]), -2.0, atol=1e-3)
+    np.testing.assert_allclose(float(y[-1]), 4.0, atol=1e-3)
+    np.testing.assert_allclose(float(bound_by_tanh(jnp.zeros(()), -2.0, 4.0)), 1.0)
+    # Per-dim bounds broadcast.
+    y2 = bound_by_tanh(jnp.zeros((2, 2)), np.array([-1.0, 0.0]), np.array([1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(y2), [[0.0, 1.0], [0.0, 1.0]])
+    g = jax.grad(lambda v: bound_by_tanh(v, -1.0, 1.0))(0.0)
+    np.testing.assert_allclose(float(g), 1.0)
