@@ -7,7 +7,7 @@ the synchronous batched form is strictly better (SURVEY.md §2.6), so A3C
 maps to this agent trained with many lanes (see pfrl_tpu/agents/a3c.py).
 """
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ class A2CCore(PPOCore):
         v_loss_coef: float = 0.5,
         max_grad_norm: Optional[float] = None,
         phi: Callable = _identity,
+        compute_dtype: Optional[Any] = None,
     ):
         super().__init__(
             model=model,
@@ -46,6 +47,7 @@ class A2CCore(PPOCore):
             value_func_coef=v_loss_coef,
             max_grad_norm=max_grad_norm,
             phi=phi,
+            compute_dtype=compute_dtype,
         )
         self.use_gae = use_gae
 
@@ -138,6 +140,7 @@ class A2C(OnPolicyShellAgent):
         use_gae: bool = False,
         tau: float = 0.95,
         max_grad_norm=None,
+        compute_dtype=None,
         seed: int = 0,
     ):
         del gpu, pi_loss_coef
@@ -151,6 +154,7 @@ class A2C(OnPolicyShellAgent):
             v_loss_coef=v_loss_coef,
             max_grad_norm=max_grad_norm,
             phi=phi,
+            compute_dtype=compute_dtype,
         )
         super().__init__(
             core, update_interval=update_steps * num_processes, seed=seed

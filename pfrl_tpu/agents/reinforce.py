@@ -7,7 +7,7 @@ masked — the static-shape replacement for the reference's per-episode
 Python loss accumulation.
 """
 
-from typing import Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +16,7 @@ import optax
 from flax import struct
 
 from pfrl_tpu.agent import AttributeSavingMixin, BatchAgent
+from pfrl_tpu.utils.precision import apply_cast
 from pfrl_tpu.utils.stats import RunningStats
 
 
@@ -39,6 +40,7 @@ class ReinforceCore:
         beta: float = 0.0,           # entropy bonus
         baseline: bool = False,      # subtract mean return (per update)
         phi: Callable = _identity,
+        compute_dtype: Optional[Any] = None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -46,6 +48,9 @@ class ReinforceCore:
         self.beta = beta
         self.baseline = baseline
         self.phi = phi
+        # bf16 policy forward/backward over fp32 masters; returns-to-go,
+        # log-probs, and the PG loss stay fp32 (utils/precision.py).
+        self.compute_dtype = compute_dtype
 
     def init(self, rng, example_obs, example_action=None) -> ReinforceState:
         del example_action
@@ -57,7 +62,9 @@ class ReinforceCore:
         )
 
     def select_action(self, state, rng, obs, t, training: bool):
-        dist = self.model.apply(state.params, self.phi(obs))
+        dist = apply_cast(
+            self.model, state.params, self.compute_dtype, self.phi(obs)
+        )
         return dist.sample(rng) if training else dist.mode()
 
     def update(self, state: ReinforceState, rng, obs, actions, rewards, mask):
@@ -86,7 +93,9 @@ class ReinforceCore:
             flat_obs = jax.tree.map(
                 lambda x: x.reshape((E * L,) + x.shape[2:]), obs
             )
-            dist = self.model.apply(params, self.phi(flat_obs))
+            dist = apply_cast(
+                self.model, params, self.compute_dtype, self.phi(flat_obs)
+            )
             lp = dist.log_prob(actions.reshape((E * L,) + actions.shape[2:]))
             m = mask.reshape(E * L)
             pg = -jnp.sum(lp * jax.lax.stop_gradient(returns.reshape(E * L)) * m)
@@ -127,11 +136,13 @@ class REINFORCE(AttributeSavingMixin, BatchAgent):
         backward_separately: bool = False,
         average_entropy_decay=0.999,
         baseline: bool = False,
+        compute_dtype=None,
         seed: int = 0,
     ):
         del gpu, backward_separately, average_entropy_decay
         self.core = ReinforceCore(
-            model, optimizer, gamma=gamma, beta=beta, baseline=baseline, phi=phi
+            model, optimizer, gamma=gamma, beta=beta, baseline=baseline,
+            phi=phi, compute_dtype=compute_dtype,
         )
         self.batchsize = batchsize
         self.max_episode_len = max_episode_len

@@ -397,6 +397,48 @@ def test_bf16_ppo_learns_abc():
     assert np.all(returns >= 1.0), returns
 
 
+def test_bf16_a2c_and_reinforce_forward_parity():
+    """The remaining on-policy cores honor compute_dtype (A2C inherits
+    PPOCore.forward; REINFORCE casts at its own apply sites). TRPO stays
+    deliberately fp32 — its FVP/CG second-order math is precision
+    sensitive."""
+    from pfrl_tpu.agents.a2c import A2CCore
+    from pfrl_tpu.agents.reinforce import ReinforceCore
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    class PiV(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.tanh(nn.Dense(32)(x))
+            return SoftmaxCategoricalHead()(nn.Dense(2)(h)), nn.Dense(1)(h)
+
+    class Pi(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.tanh(nn.Dense(32)(x))
+            return SoftmaxCategoricalHead()(nn.Dense(2)(h))
+
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+
+    a32 = A2CCore(PiV(), optax.adam(1e-3))
+    a16 = A2CCore(PiV(), optax.adam(1e-3), compute_dtype=jnp.bfloat16)
+    st = a32.init(jax.random.PRNGKey(0), obs)
+    d32, v32 = a32.forward(st.params, obs)
+    d16, v16 = a16.forward(st.params, obs)
+    assert v16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(d32.probs), np.asarray(d16.probs), rtol=3e-2, atol=3e-2
+    )
+
+    r32 = ReinforceCore(Pi(), optax.adam(1e-3))
+    r16 = ReinforceCore(Pi(), optax.adam(1e-3), compute_dtype=jnp.bfloat16)
+    st = r32.init(jax.random.PRNGKey(0), obs)
+    k = jax.random.PRNGKey(2)
+    act32 = r32.select_action(st, k, obs, jnp.zeros((), jnp.int32), False)
+    act16 = r16.select_action(st, k, obs, jnp.zeros((), jnp.int32), False)
+    np.testing.assert_array_equal(np.asarray(act32), np.asarray(act16))
+
+
 def test_bf16_c51_learns_abc():
     """Distributional cores inherit the cast boundary from
     DQNCore.action_value: C51 with bf16 compute still solves ABC (the
