@@ -11,6 +11,11 @@ flat vector (jax.flatten_util), the CG loop is a fixed-budget
 jvp-of-grad-of-KL (double AD, one fused XLA program), and the backtracking
 line search is a branchless ``lax.fori_loop`` that keeps the first
 acceptable candidate — the whole policy update is ONE jitted call.
+
+No ``compute_dtype`` here by design: the FVP/CG/KL second-order math is
+precision sensitive (bf16 curvature products destabilize the CG
+residual), so TRPO trains fp32 while the first-order families take
+``compute_dtype=jnp.bfloat16`` (utils/precision.py).
 """
 
 from typing import Any, Callable, Optional
