@@ -29,6 +29,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--replay-capacity", type=int, default=10**5)
@@ -42,6 +44,7 @@ def main():
     # Reference hyperparameters (train_iqn.py:60-100): N=N'=64, K=32,
     # Adam 5e-5 eps 1e-2/32.
     core = IQNCore(
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         model=ImplicitQuantileQFunction(
             psi=LargeAtariCNN(), n_actions=n_actions
         ),

@@ -34,7 +34,7 @@ def phi(x):
     return x.astype(jnp.float32) / 255.0
 
 
-def make_core(n_actions):
+def make_core(n_actions, args):
     # Reference recipe: noisy dense heads, 51 atoms on [-10, 10],
     # Adam 6.25e-5 eps 1.5e-4 (train_rainbow.py:60-90).
     model = DistributionalDuelingDQN(
@@ -47,6 +47,7 @@ def make_core(n_actions):
         ),
     )
     return CategoricalDoubleDQNCore(
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         model=model,
         optimizer=optax.adam(6.25e-5, eps=1.5e-4),
         explorer=Greedy(),  # NoisyNet provides exploration
@@ -59,6 +60,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--replay-capacity", type=int, default=10**5)
@@ -69,7 +72,7 @@ def main():
     args = parser.parse_args()
 
     n_actions = 6
-    core = make_core(n_actions)
+    core = make_core(n_actions, args)
     cfg = RunnerConfig(
         num_envs=args.num_envs,
         replay_start_size=args.replay_start_size,

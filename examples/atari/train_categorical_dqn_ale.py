@@ -58,6 +58,7 @@ def run_sim(args):
     core = CategoricalDQNCore(
         model=C51Q(n_actions=n_actions, n_atoms=args.n_atoms),
         optimizer=optax.adam(args.lr, eps=1e-2 / args.batch_size),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         explorer=explorers.LinearDecayEpsilonGreedy(
             1.0, 0.01, 10**6, n_actions
         ),
@@ -98,6 +99,8 @@ def main():
     parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--chunk", type=int, default=200,
                         help="scan steps per device dispatch")
     parser.add_argument("--steps", type=int, default=5 * 10**7)

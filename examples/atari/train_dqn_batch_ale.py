@@ -68,6 +68,7 @@ def build_agent(n_actions, num_lanes, args):
         update_interval=args.update_interval,
         target_update_interval=args.target_update_interval,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
 
@@ -179,6 +180,7 @@ def run_multihost(args):
     mesh = global_mesh(("dp",))
     n_actions = 6
     core = DQNCore(
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         model=NatureQ(n_actions=n_actions),
         optimizer=optax.adam(args.lr, eps=1.5e-4),
         explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.01, 10**6, n_actions),
@@ -239,6 +241,8 @@ def main():
     parser.add_argument("--num-processes", type=int, default=1)
     parser.add_argument("--process-id", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--batch-size", type=int, default=32)

@@ -67,6 +67,7 @@ def build_core(n_actions, args):
         gamma=0.99,
         phi=phi,
         burn_in=args.burn_in,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
 
@@ -121,6 +122,8 @@ def main():
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--flicker", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--chunk", type=int, default=200,
                         help="scan steps per device dispatch")
     parser.add_argument("--steps", type=int, default=5 * 10**7)

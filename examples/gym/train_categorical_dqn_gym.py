@@ -18,6 +18,7 @@ from pfrl_tpu.experiments.demo_cli import (
 import time
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import explorers, replay_buffers
@@ -36,6 +37,8 @@ def main():
     parser.add_argument("--env", choices=sorted(ENVS), default="cartpole")
     parser.add_argument("--steps", type=int, default=200_000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--num-envs", type=int, default=32)
     parser.add_argument("--n-atoms", type=int, default=51)
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -51,6 +54,7 @@ def main():
     env = make_env()
     n_actions = env.action_space.n
     core = CategoricalDQNCore(
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         model=DistributionalFCStateQFunctionWithDiscreteAction(
             n_actions=n_actions,
             n_atoms=args.n_atoms,

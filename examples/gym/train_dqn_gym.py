@@ -20,6 +20,7 @@ from pfrl_tpu.experiments.demo_cli import (
 import time
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import explorers, replay_buffers
@@ -64,6 +65,7 @@ def make_core(env, args):
             0.3, low=float(space.low[0]), high=float(space.high[0])
         )
     return DQNCore(
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         model=model,
         optimizer=optax.adam(args.lr),
         explorer=explorer,
@@ -76,6 +78,8 @@ def main():
     parser.add_argument("--env", choices=sorted(ENVS), default="cartpole")
     parser.add_argument("--steps", type=int, default=200_000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--num-envs", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--gamma", type=float, default=0.99)

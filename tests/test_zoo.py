@@ -147,6 +147,7 @@ def test_round4_zoo_entries_resolve():
         "rainbow/cartpole",
         "dqn_bf16/cartpole",
         "rppo/delayed_cue",
+        "sac_bf16/pendulum",
     ):
         assert name in models, models
         alg, env = name.split("/")

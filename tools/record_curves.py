@@ -328,7 +328,8 @@ def run_c51_cartpole():
     )
 
 
-def run_sac_pendulum():
+def run_sac_pendulum(compute_dtype=None, name="sac_pendulum",
+                     zoo=("sac", "pendulum")):
     import flax.linen as nn
     import jax
     import optax
@@ -364,6 +365,7 @@ def run_sac_pendulum():
         entropy_target=-1.0,
         burnin_action_func=burnin,
         burnin_steps=1000,
+        compute_dtype=compute_dtype,
     )
     runner = OffPolicyRunner(
         env,
@@ -377,12 +379,25 @@ def run_sac_pendulum():
         ),
     )
     return _curve_loop(
-        "sac_pendulum",
+        name,
         runner,
         JaxEvalLoop(env, core, num_episodes=10, max_steps=201),
         steps=steps,
         eval_every=5_000,
-        zoo_entry=("sac", "pendulum"),
+        zoo_entry=zoo,
+    )
+
+
+def run_sac_pendulum_bf16():
+    """sac_pendulum under compute_dtype=bfloat16 on the identical
+    schedule — the actor-critic analog of dqn_cartpole_bf16's
+    no-precision-penalty A/B."""
+    import jax.numpy as jnp
+
+    return run_sac_pendulum(
+        compute_dtype=jnp.bfloat16,
+        name="sac_pendulum_bf16",
+        zoo=("sac_bf16", "pendulum"),
     )
 
 
@@ -1215,6 +1230,7 @@ RUNS = {
     "dqn_cartpole_bf16": run_dqn_cartpole_bf16,
     "c51_cartpole": run_c51_cartpole,
     "sac_pendulum": run_sac_pendulum,
+    "sac_pendulum_bf16": run_sac_pendulum_bf16,
     "ddpg_pendulum": run_ddpg_pendulum,
     "ppo_pendulum": run_ppo_pendulum,
     "drqn_po_abc": run_drqn_po_abc,
