@@ -41,6 +41,18 @@ def test_dqn_cartpole_example(tmp_path):
 
 
 @pytest.mark.slow
+def test_dqn_cartpole_example_bf16(tmp_path):
+    """--bf16 runs the same flagship flow end-to-end under mixed
+    precision (tests/test_precision.py gates the learning parity)."""
+    out = run_example(
+        "examples/gym/train_dqn_cartpole.py",
+        ["--steps", "5000", "--num-envs", "16", "--eval-interval", "5000",
+         "--replay-start-size", "256", "--update-per", "16", "--bf16"],
+    )
+    assert "env-steps/s" in out
+
+
+@pytest.mark.slow
 def test_dqn_atari_sim_example():
     out = run_example(
         "examples/atari/reproduction/dqn/train_dqn.py",
