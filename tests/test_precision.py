@@ -397,6 +397,64 @@ def test_bf16_ppo_learns_abc():
     assert np.all(returns >= 1.0), returns
 
 
+def test_bf16_recurrent_ppo_learns_delayed_cue():
+    """RecurrentPPOCore honors compute_dtype through the collection
+    forward AND the chunked TBPTT update scan: bf16 still solves
+    DelayedCue; carries stay fp32 end-to-end."""
+    from pfrl_tpu.agents import RecurrentPPOCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.experiments.runner import JaxEvalLoop
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    class RPiV(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            dist = SoftmaxCategoricalHead()(nn.Dense(2)(h))
+            v = nn.Dense(1)(h)
+            return (dist, v), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentPPOCore(
+        RPiV(),
+        optax.adam(5e-3),
+        gamma=0.95,
+        epochs=4,
+        minibatch_size=16,
+        entropy_coef=1e-2,
+        chunk_len=4,
+        compute_dtype=jnp.bfloat16,
+    )
+    runner = OnPolicyRunner(env, core, num_envs=16, rollout_len=24)
+    state = runner.init(jax.random.PRNGKey(0))
+    # The act-path carry must stay fp32 under bf16 compute.
+    _, aux, carry = core.act_with_aux_recurrent(
+        state.train_state,
+        jax.random.PRNGKey(7),
+        jnp.zeros((16, 13)),
+        True,
+        core.initial_carry(16),
+    )
+    assert aux["value"].dtype == jnp.float32
+    for leaf in jax.tree.leaves(carry):
+        assert leaf.dtype == jnp.float32
+    state, _ = runner.run_iterations(state, 30)
+    evaluator = JaxEvalLoop(env, core, num_episodes=32, max_steps=12)
+    returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
+    assert np.mean(returns) >= 0.9, returns
+
+
 def test_bf16_a2c_and_reinforce_forward_parity():
     """The remaining on-policy cores honor compute_dtype (A2C inherits
     PPOCore.forward; REINFORCE casts at its own apply sites). TRPO stays
