@@ -207,3 +207,50 @@ def test_load_zoo_drqn_delayed_cue_and_eval():
         jax.device_put(state), jax.random.PRNGKey(1)
     )
     assert returns.mean() >= 1.0, returns
+
+
+def test_load_zoo_rppo_delayed_cue_and_eval():
+    """Restore the recurrent-PPO delayed-cue checkpoint: greedy eval must
+    recall the cue across the reveal->reward gap (mean return 1.0) — the
+    on-policy recurrent analog of the DRQN zoo gate."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentPPOCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    class RPiV(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            dist = SoftmaxCategoricalHead()(nn.Dense(2)(h))
+            v = nn.Dense(1)(h)
+            return (dist, v), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    path, exists = download_model("rppo", "delayed_cue", model_type="best")
+    assert exists
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentPPOCore(RPiV(), optax.adam(5e-3), chunk_len=4)
+    state = core.init(jax.random.PRNGKey(0), np.zeros((1, 13), np.float32))
+    state = load_state(
+        jax.device_get(state), os.path.join(path, "train_state.msgpack")
+    )
+    returns = JaxEvalLoop(env, core, num_episodes=16, max_steps=12).evaluate(
+        jax.device_put(state), jax.random.PRNGKey(1)
+    )
+    assert returns.mean() >= 1.0, returns
