@@ -14,6 +14,7 @@ entropy -dim(A), squashed-Gaussian policy over (256, 256) MLPs.
 import argparse
 
 from pfrl_tpu.experiments.demo_cli import add_demo_args
+from pfrl_tpu.experiments.env_cli import add_env_backend_args
 import functools
 
 import flax.linen as nn
@@ -42,6 +43,10 @@ def burnin(action_size, rng, batch):
 
 
 def make_env(args, seed, test):
+    if args.jax_env:
+        from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
+
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=int(seed))
     try:
         import gym
 
@@ -62,10 +67,11 @@ def make_env(args, seed, test):
         if test and args.monitor:
             env = Monitor(env, args.outdir)
         return env
-    except ImportError:
-        from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
-
-        return HostJaxEnv(TimeLimit(Pendulum()), seed=int(seed))
+    except ImportError as e:
+        raise RuntimeError(
+            f"env backend for {args.env!r} unavailable ({e}); pass --jax-env "
+            "to train the in-repo simulator explicitly"
+        ) from e
 
 
 def make_batch_env(args, test):
@@ -82,6 +88,7 @@ def make_batch_env(args, test):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="RoboschoolAtlasForwardWalk-v1")
+    add_env_backend_args(parser)
     parser.add_argument("--num-envs", type=int, default=4)
     parser.add_argument("--serial-envs", action="store_true",
                         help="Run the vector env in-process (debug).")

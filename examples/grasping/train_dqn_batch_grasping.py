@@ -13,6 +13,8 @@ tuples — exercising the framework's pytree observation path end to end
 
 import argparse
 
+from pfrl_tpu.experiments.env_cli import add_env_backend_args
+
 import functools
 
 import flax.linen as nn
@@ -101,6 +103,10 @@ class SyntheticGraspingEnv:
 
 
 def make_env(args, seed, test):
+    if args.jax_env:
+        return SyntheticGraspingEnv(
+            max_episode_steps=args.max_episode_steps, seed=int(seed)
+        )
     try:
         import gym
         from pybullet_envs.bullet.kuka_diverse_object_gym_env import (  # noqa
@@ -145,10 +151,11 @@ def make_env(args, seed, test):
                 return self.env.seed(seed)
 
         return _Wrapped(env, args.max_episode_steps)
-    except ImportError:
-        return SyntheticGraspingEnv(
-            max_episode_steps=args.max_episode_steps, seed=int(seed)
-        )
+    except ImportError as e:
+        raise RuntimeError(
+            f"pybullet grasping env unavailable ({e}); pass --jax-env to "
+            "train the in-repo synthetic grasping simulator explicitly"
+        ) from e
 
 
 def make_batch_env(args, test):
@@ -165,6 +172,7 @@ def make_batch_env(args, test):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--outdir", default="results/grasping")
+    add_env_backend_args(parser)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--load", default=None)

@@ -5,6 +5,7 @@ gym/mujoco are absent."""
 import argparse
 
 from pfrl_tpu.experiments.demo_cli import add_demo_args
+from pfrl_tpu.experiments.env_cli import add_env_backend_args
 import functools
 
 import flax.linen as nn
@@ -34,23 +35,23 @@ def burnin(action_size, rng, batch):
 
 
 def make_env(args, seed):
-    try:
-        import gym
+    """Real gymnasium env by default (hard-fail if unavailable); the pure-JAX
+    Pendulum simulator only on explicit --jax-env (reference env factory:
+    examples/mujoco/reproduction/soft_actor_critic/train_soft_actor_critic.py:66-79)."""
+    from pfrl_tpu.experiments.env_cli import make_backend_env
 
-        env = gym.make(args.env)
-        env.seed(seed)
-        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
-
-        return NormalizeActionSpace(CastObservationToFloat32(env))
-    except ImportError:
+    def jax_pendulum(s):
         from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
 
-        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=s)
+
+    return make_backend_env(args, seed, jax_pendulum)
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", default="HalfCheetah-v2")
+    parser.add_argument("--env", default="HalfCheetah-v5")
+    add_env_backend_args(parser)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=10**6)
     parser.add_argument("--eval-interval", type=int, default=5000)

@@ -47,18 +47,17 @@ class PiV(nn.Module):
 
 
 def make_env(args, seed):
-    try:
-        import gym
+    """Real gymnasium env by default (hard-fail if unavailable); the pure-JAX
+    backend only on explicit --jax-env (reference env factory:
+    examples/mujoco/reproduction/soft_actor_critic/train_soft_actor_critic.py:66-79)."""
+    from pfrl_tpu.experiments.env_cli import make_backend_env
 
-        env = gym.make(args.env)
-        env.seed(seed)
-        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
-
-        return NormalizeActionSpace(CastObservationToFloat32(env))
-    except ImportError:
+    def jax_pendulum(s):
         from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
 
-        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=s)
+
+    return make_backend_env(args, seed, jax_pendulum)
 
 
 def run_device(args):
@@ -105,7 +104,7 @@ def run_device(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", default="Hopper-v3")
+    parser.add_argument("--env", default="Hopper-v5")
     parser.add_argument("--jax-env", choices=["pendulum"], default=None,
                         help="run fully on device against a pure-JAX env")
     parser.add_argument("--seed", type=int, default=0)

@@ -6,6 +6,7 @@ Pendulum when gym/mujoco are absent.
 import argparse
 
 from pfrl_tpu.experiments.demo_cli import add_demo_args
+from pfrl_tpu.experiments.env_cli import add_env_backend_args
 import functools
 
 import flax.linen as nn
@@ -35,35 +36,61 @@ def burnin(action_size, rng, batch):
 
 
 def make_env(args, seed):
-    try:
-        import gym
+    """Real gymnasium env by default (hard-fail if unavailable); the pure-JAX
+    Pendulum simulator only on explicit --jax-env (reference env factory:
+    examples/mujoco/reproduction/soft_actor_critic/train_soft_actor_critic.py:66-79)."""
+    from pfrl_tpu.experiments.env_cli import make_backend_env
 
-        env = gym.make(args.env)
-        env.seed(seed)
-        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
-
-        return NormalizeActionSpace(CastObservationToFloat32(env))
-    except ImportError:
+    def jax_pendulum(s):
         from pfrl_tpu.envs import HostJaxEnv, Pendulum, TimeLimit
 
-        return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+        return HostJaxEnv(TimeLimit(Pendulum()), seed=s)
+
+    return make_backend_env(args, seed, jax_pendulum)
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", default="HalfCheetah-v2")
+    parser.add_argument("--env", default="HalfCheetah-v5")
+    add_env_backend_args(parser)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=10**6)
     parser.add_argument("--eval-interval", type=int, default=5000)
+    parser.add_argument("--eval-n-envs", type=int, default=1,
+                        help="evaluate over this many parallel envs "
+                        "(>1 batches eval acts into vector dispatches)")
+    parser.add_argument("--num-envs", type=int, default=1,
+                        help="parallel train envs; 1 = reference-exact "
+                        "serial protocol, >1 = batched collection with the "
+                        "1-update-per-env-step ratio preserved")
+    parser.add_argument("--update-burst", action="store_true",
+                        help="run the updates due at each step as one "
+                        "jitted scan dispatch (TPU dispatch amortization)")
     parser.add_argument("--replay-start-size", type=int, default=10_000)
+    parser.add_argument("--checkpoint-freq", type=int, default=None,
+                        help="save a checkpoint every N steps")
     parser.add_argument("--outdir", default="results/td3")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 network compute over fp32 master params")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
-    env = make_env(args, args.seed)
-    eval_env = make_env(args, args.seed + 100)
+    from pfrl_tpu.envs import SerialVectorEnv
+
+    if args.num_envs > 1:
+        env = SerialVectorEnv(
+            [make_env(args, args.seed * args.num_envs + i)
+             for i in range(args.num_envs)]
+        )
+    else:
+        env = make_env(args, args.seed)
+    if args.eval_n_envs > 1:
+        eval_env = SerialVectorEnv(
+            [make_env(args, args.seed + 100 + i)
+             for i in range(args.eval_n_envs)]
+        )
+    else:
+        eval_env = make_env(args, args.seed + 100)
     action_size = env.action_space.shape[0]
 
     # Reference hyperparameters (train_td3.py:80-130).
@@ -84,6 +111,7 @@ def main():
         policy_update_delay=2,
         burnin_action_func=functools.partial(burnin, action_size),
         burnin_steps=args.replay_start_size,
+        update_burst=args.update_burst,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
@@ -98,7 +126,12 @@ def main():
             f"median: {stats['median']} stdev: {stats['stdev']}"
         )
         return
-    experiments.train_agent_with_evaluation(
+    driver = (
+        experiments.train_agent_batch_with_evaluation
+        if args.num_envs > 1
+        else experiments.train_agent_with_evaluation
+    )
+    driver(
         agent,
         env,
         steps=args.steps,
@@ -107,6 +140,7 @@ def main():
         eval_interval=args.eval_interval,
         outdir=args.outdir,
         eval_env=eval_env,
+        checkpoint_freq=args.checkpoint_freq,
     )
 
 

@@ -14,6 +14,7 @@ because observations are not pixels, gamma 0.98, Adam 1e-4.
 import argparse
 
 from pfrl_tpu.experiments.demo_cli import add_demo_args
+from pfrl_tpu.experiments.env_cli import add_env_backend_args
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -84,7 +85,11 @@ class DistributionalDuelingMLPHead(nn.Module):
         return DistributionalDiscreteActionValue(q_dist=q_dist, z_values=z)
 
 
-def make_env(seed):
+def make_env(args, seed):
+    if args.jax_env:
+        from pfrl_tpu.envs import CartPole, HostJaxEnv, TimeLimit
+
+        return HostJaxEnv(TimeLimit(CartPole()), seed=seed)
     try:
         import gym
         import slimevolleygym  # noqa: F401  (registers SlimeVolley-v0)
@@ -94,15 +99,17 @@ def make_env(seed):
         env = gym.make("SlimeVolley-v0")
         env.seed(seed)
         return MultiBinaryAsDiscreteAction(CastObservationToFloat32(env))
-    except ImportError:
-        from pfrl_tpu.envs import CartPole, HostJaxEnv, TimeLimit
-
-        return HostJaxEnv(TimeLimit(CartPole()), seed=seed)
+    except ImportError as e:
+        raise RuntimeError(
+            f"slimevolleygym unavailable ({e}); pass --jax-env to train the "
+            "in-repo CartPole simulator explicitly"
+        ) from e
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--seed", type=int, default=0)
+    add_env_backend_args(parser)
     parser.add_argument("--steps", type=int, default=2 * 10**6)
     parser.add_argument("--gamma", type=float, default=0.98)
     parser.add_argument("--replay-start-size", type=int, default=1600)
@@ -111,8 +118,8 @@ def main():
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
-    env = make_env(args.seed)
-    eval_env = make_env(args.seed + 100)
+    env = make_env(args, args.seed)
+    eval_env = make_env(args, args.seed + 100)
     n_actions = env.action_space.n
 
     # Data-efficient Rainbow hyperparameters (reference :96-170):

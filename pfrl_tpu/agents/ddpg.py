@@ -195,6 +195,7 @@ class ActorCriticShellAgent(AttributeSavingMixin, BatchAgent):
         update_interval: int = 1,
         target_update_interval: int = 1,
         n_times_update: int = 1,
+        update_burst: bool = False,
         seed: int = 0,
     ):
         import numpy as np
@@ -207,6 +208,14 @@ class ActorCriticShellAgent(AttributeSavingMixin, BatchAgent):
         self.update_interval = update_interval
         self.target_update_interval = target_update_interval
         self.n_times_update = n_times_update
+        # Burst mode runs the n due updates of a step as ONE jitted
+        # lax.scan dispatch instead of n dispatches — same sample/update
+        # math (the RNG split chain is carried through the scan), but the
+        # host->device round trip amortizes over the burst. This is what
+        # makes reference-ratio (1 update per env step) training on host
+        # envs dispatch-bound rather than latency-bound on TPU.
+        self.update_burst = update_burst
+        self._jit_burst = None
         self.rng = jax.random.PRNGKey(seed)
         self.t = 0
         self.train_state = None
@@ -300,6 +309,20 @@ class ActorCriticShellAgent(AttributeSavingMixin, BatchAgent):
                 return train_state, replay_state, aux["loss"]
 
             self._jit_update = jax.jit(fused_update)
+
+            def burst_update(train_state, replay_state, rng, n):
+                def body(carry, _):
+                    ts, rs, r = carry
+                    r, sub = jax.random.split(r)
+                    ts, rs, loss = fused_update(ts, rs, sub)
+                    return (ts, rs, r), loss
+
+                (train_state, replay_state, rng), losses = jax.lax.scan(
+                    body, (train_state, replay_state, rng), None, length=n
+                )
+                return train_state, replay_state, losses
+
+            self._jit_burst = jax.jit(burst_update, static_argnums=(3,))
         self.replay_state = self.buffer.add(self.replay_state, transition)
 
         prev_t = self.t
@@ -312,11 +335,19 @@ class ActorCriticShellAgent(AttributeSavingMixin, BatchAgent):
             self.train_state = self.core.sync_target(self.train_state)
         if self.t >= self.replay_start_size:
             n = self.t // self.update_interval - prev_t // self.update_interval
-            for _ in range(n * self.n_times_update):
-                self.train_state, self.replay_state, loss = self._jit_update(
-                    self.train_state, self.replay_state, self._next_rng()
+            n_updates = n * self.n_times_update
+            if self.update_burst and n_updates > 1:
+                self.train_state, self.replay_state, losses = self._jit_burst(
+                    self.train_state, self.replay_state, self._next_rng(),
+                    n_updates,
                 )
-                self._loss_stats.append(loss)
+                self._loss_stats.append(jnp.mean(losses))
+            else:
+                for _ in range(n_updates):
+                    self.train_state, self.replay_state, loss = self._jit_update(
+                        self.train_state, self.replay_state, self._next_rng()
+                    )
+                    self._loss_stats.append(loss)
 
     def get_statistics(self):
         return [
@@ -351,6 +382,7 @@ class DDPG(ActorCriticShellAgent):
         target_update_method="soft",
         soft_update_tau=5e-3,
         n_times_update=1,
+        update_burst=False,
         burnin_action_func=None,
         burnin_steps=0,
         compute_dtype=None,
@@ -379,6 +411,7 @@ class DDPG(ActorCriticShellAgent):
             update_interval=update_interval,
             target_update_interval=target_update_interval,
             n_times_update=n_times_update,
+            update_burst=update_burst,
             seed=seed,
         )
         self.core_action_space = action_space

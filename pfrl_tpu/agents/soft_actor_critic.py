@@ -278,6 +278,7 @@ class SoftActorCritic(ActorCriticShellAgent):
         phi=_identity,
         soft_update_tau=5e-3,
         n_times_update=1,
+        update_burst=False,
         temperature_optimizer_lr=None,
         initial_temperature=1.0,
         entropy_target=None,
@@ -317,6 +318,7 @@ class SoftActorCritic(ActorCriticShellAgent):
             minibatch_size=minibatch_size,
             update_interval=update_interval,
             n_times_update=n_times_update,
+            update_burst=update_burst,
             seed=seed,
         )
         self.core_action_space = action_space

@@ -248,6 +248,7 @@ class TD3(ActorCriticShellAgent):
         phi=_identity,
         soft_update_tau=5e-3,
         n_times_update=1,
+        update_burst=False,
         policy_update_delay=2,
         target_policy_smoothing_func=default_target_policy_smoothing_func,
         burnin_action_func=None,
@@ -280,6 +281,7 @@ class TD3(ActorCriticShellAgent):
             minibatch_size=minibatch_size,
             update_interval=update_interval,
             n_times_update=n_times_update,
+            update_burst=update_burst,
             seed=seed,
         )
         self.core_action_space = action_space

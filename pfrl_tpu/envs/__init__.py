@@ -12,6 +12,7 @@ from pfrl_tpu.envs.cartpole import CartPole
 from pfrl_tpu.envs.delayed_cue import DelayedCue
 from pfrl_tpu.envs.mountain_car import MountainCarContinuous
 from pfrl_tpu.envs.pendulum import Pendulum
+from pfrl_tpu.envs.gymnasium_env import GymnasiumEnv, make_gymnasium_env
 from pfrl_tpu.envs.host_adapter import HostJaxEnv
 from pfrl_tpu.envs.serial_vector_env import SerialVectorEnv
 from pfrl_tpu.envs.multiprocess_vector_env import MultiprocessVectorEnv
@@ -22,6 +23,8 @@ __all__ = [
     "ABC",
     "AtariSim",
     "MujocoSim",
+    "GymnasiumEnv",
+    "make_gymnasium_env",
     "HostJaxEnv",
     "CartPole",
     "DelayedCue",

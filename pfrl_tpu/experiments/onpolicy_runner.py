@@ -42,13 +42,56 @@ class OnPolicyRunner:
         num_envs: int,
         rollout_len: int,
         return_window: int = 256,
+        mesh=None,
+        data_axis: str = "dp",
     ):
+        """``mesh``: optional jax.sharding.Mesh. Env lanes (and therefore
+        every ``[T, L]`` rollout tensor) shard over ``data_axis`` while the
+        train state stays replicated — the SPMD replacement for the
+        reference's vectorized-env process pool driving PPO/A2C
+        (pfrl/experiments/train_agent_batch.py:10-154). The PPO epoch loop
+        contracts sharded minibatches against replicated params, so XLA
+        inserts the gradient all-reduce; collectives ride ICI.
+        """
         self.env = VectorJaxEnv(env, num_envs)
         self.core = core
         self.num_envs = num_envs
         self.rollout_len = rollout_len
         self.return_window = return_window
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            assert num_envs % n_dev == 0, (
+                f"num_envs {num_envs} must divide over {n_dev} devices"
+            )
         self._jit_iteration = None
+
+    def _state_shardings(self, state: "OnPolicyRunnerState"):
+        """Lane-major leaves shard over the data axis; params/scalars
+        replicate (same layout discipline as OffPolicyRunner)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_sharded = NamedSharding(self.mesh, P(self.data_axis))
+        replicated = NamedSharding(self.mesh, P())
+
+        def all_lane(tree):
+            return jax.tree.map(lambda _: lane_sharded, tree)
+
+        def all_rep(tree):
+            return jax.tree.map(lambda _: replicated, tree)
+
+        return OnPolicyRunnerState(
+            env_states=all_lane(state.env_states),
+            obs=all_lane(state.obs),
+            train_state=all_rep(state.train_state),
+            rng=replicated,
+            t=replicated,
+            episode_return=lane_sharded,
+            recent_returns=replicated,
+            recent_count=replicated,
+            act_state=all_lane(state.act_state),
+        )
 
     def init(self, rng: jax.Array) -> OnPolicyRunnerState:
         rng, rng_env, rng_core = jax.random.split(rng, 3)
@@ -71,10 +114,13 @@ class OnPolicyRunner:
             act_state=act_state,
         )
         # De-alias for donation (see OffPolicyRunner.init).
-        return jax.tree.map(
+        state = jax.tree.map(
             lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
             state,
         )
+        if self.mesh is not None:
+            state = jax.device_put(state, self._state_shardings(state))
+        return state
 
     # ------------------------------------------------------------- iteration
     def _collect_step(self, carry, _):
@@ -172,9 +218,20 @@ class OnPolicyRunner:
                 def body(s, _):
                     return self._iteration(s)
                 return jax.lax.scan(body, state, None, length=n_iter)
-            self._jit_iteration = jax.jit(
-                multi, static_argnums=(1,), donate_argnums=(0,)
-            )
+            if self.mesh is None:
+                self._jit_iteration = jax.jit(
+                    multi, static_argnums=(1,), donate_argnums=(0,)
+                )
+            else:
+                shardings = self._state_shardings(state)
+                jitted = jax.jit(
+                    multi,
+                    static_argnums=(1,),
+                    in_shardings=(shardings,),
+                    out_shardings=(shardings, None),
+                    donate_argnums=(0,),
+                )
+                self._jit_iteration = jitted
         return self._jit_iteration(state, n)
 
     def recent_return_mean(self, state) -> float:

@@ -31,7 +31,9 @@ def cast_floating(tree: Any, dtype: Optional[Any]) -> Any:
     )
 
 
-def apply_cast(module, params, dtype: Optional[Any], *args, **kwargs) -> Any:
+def apply_cast(
+    module, params, dtype: Optional[Any], *args, uncast_argnums=(), **kwargs
+) -> Any:
     """Run ``module.apply`` with bf16 (or any ``dtype``) compute.
 
     Floating leaves of ``params`` and the positional inputs are cast down
@@ -40,12 +42,24 @@ def apply_cast(module, params, dtype: Optional[Any], *args, **kwargs) -> Any:
     plain fp32 apply. The casts are part of the traced computation, so
     gradients flow back to the float32 masters (the down-cast's VJP is an
     up-cast) and XLA emits bf16 convs/matmuls with fp32 accumulation.
+
+    .. warning:: EVERY floating positional arg is down-cast unless its
+       index is listed in ``uncast_argnums``. Precision-sensitive inputs —
+       recurrent carries that must stay fp32 across long scans, running
+       statistics, step counters stored as floats — must either be listed
+       there or be passed via ``kwargs`` (keyword args are never cast).
+       The recurrent cores (RecurrentDQN/RecurrentPPO) instead call
+       ``cast_floating`` selectively per input so their fp32 carries are
+       never routed through this helper's blanket cast.
     """
     if dtype is None:
         return module.apply(params, *args, **kwargs)
     out = module.apply(
         cast_floating(params, dtype),
-        *(cast_floating(a, dtype) for a in args),
+        *(
+            a if i in uncast_argnums else cast_floating(a, dtype)
+            for i, a in enumerate(args)
+        ),
         **kwargs,
     )
     return cast_to_float32(out)

@@ -232,16 +232,15 @@ class FlickerFrame(_GymWrapper):
 
 
 def make_atari(env_id, max_frames=30 * 60 * 60):
-    """Factory (:288-301). Requires gym[atari] on the host."""
-    import gym
-
+    """Factory (:288-301). Requires gymnasium[atari] (ale-py) or gym[atari]
+    on the host; hard-fails with the backend errors otherwise."""
+    from pfrl_tpu.envs.gymnasium_env import make_gymnasium_env
     from pfrl_tpu.wrappers.continuing_time_limit import ContinuingTimeLimit
 
-    env = gym.make(
+    env = make_gymnasium_env(
         env_id, obs_type="image", frameskip=1,
         repeat_action_probability=0.0, full_action_space=False,
     )
-    assert "NoFrameskip" in env.spec.id or env.spec.id
     if max_frames:
         env = ContinuingTimeLimit(env, max_episode_steps=max_frames)
     env = NoopResetEnv(env, noop_max=30)
