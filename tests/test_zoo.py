@@ -254,3 +254,136 @@ def test_load_zoo_rppo_delayed_cue_and_eval():
         jax.device_put(state), jax.random.PRNGKey(1)
     )
     assert returns.mean() >= 1.0, returns
+
+
+def test_round5_zoo_entries_resolve():
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    for alg, env_name in [("riqn", "delayed_cue"), ("rtrpo", "delayed_cue")]:
+        path, exists = download_model(alg, env_name, model_type="best")
+        assert exists, (alg, env_name)
+        assert os.path.exists(os.path.join(path, "train_state.msgpack"))
+
+
+def test_load_zoo_riqn_delayed_cue_and_eval():
+    """Restore the recurrent-IQN delayed-cue checkpoint: greedy eval must
+    recall the cue across the reveal->reward gap (mean return 1.0) —
+    closing the recurrent zoo matrix for the quantile family
+    (reference: pfrl/agents/iqn.py:127-173)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentIQNCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.q_functions import RecurrentImplicitQuantileQFunction
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    class Psi(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            return h, (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    path, exists = download_model("riqn", "delayed_cue", model_type="best")
+    assert exists
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentIQNCore(
+        model=RecurrentImplicitQuantileQFunction(
+            psi=Psi(), n_actions=2, n_basis_functions=32
+        ),
+        optimizer=optax.adam(3e-3),
+        explorer=ConstantEpsilonGreedy(0.0, 2),
+        gamma=0.95,
+        quantile_thresholds_N=8,
+        quantile_thresholds_N_prime=8,
+        quantile_thresholds_K=8,
+    )
+    state = core.init(jax.random.PRNGKey(0), np.zeros((1, 13), np.float32))
+    state = load_state(
+        jax.device_get(state), os.path.join(path, "train_state.msgpack")
+    )
+    returns = JaxEvalLoop(env, core, num_episodes=16, max_steps=12).evaluate(
+        jax.device_put(state), jax.random.PRNGKey(1)
+    )
+    assert returns.mean() >= 1.0, returns
+
+
+def test_load_zoo_rtrpo_delayed_cue_and_eval():
+    """Restore the recurrent-TRPO delayed-cue checkpoint (trust-region
+    policy over an LSTM; reference pfrl/agents/trpo.py:90-844): greedy
+    eval must recall the cue across the reveal->reward gap."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentTRPOCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+    from pfrl_tpu.replay.persistent import load_state
+    from pfrl_tpu.utils.pretrained_models import download_model
+
+    class RPolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            dist = SoftmaxCategoricalHead()(nn.Dense(2)(h))
+            return dist, (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    class RVF(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            return nn.Dense(1)(h), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    path, exists = download_model("rtrpo", "delayed_cue", model_type="best")
+    assert exists
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentTRPOCore(
+        policy=RPolicy(),
+        vf=RVF(),
+        vf_optimizer=optax.adam(3e-3),
+        gamma=0.95,
+        chunk_len=4,
+    )
+    state = core.init(jax.random.PRNGKey(0), np.zeros((1, 13), np.float32))
+    state = load_state(
+        jax.device_get(state), os.path.join(path, "train_state.msgpack")
+    )
+    returns = JaxEvalLoop(env, core, num_episodes=16, max_steps=12).evaluate(
+        jax.device_put(state), jax.random.PRNGKey(1)
+    )
+    assert returns.mean() >= 1.0, returns

@@ -1225,6 +1225,158 @@ def run_reinforce_cartpole():
     return history[-1]["eval_score"] if history else float("nan")
 
 
+def run_riqn_delayed_cue():
+    """Recurrent IQN on DelayedCue (VERDICT r4 weak #7: close the
+    recurrent evidence matrix). Reference: pfrl/agents/iqn.py:127-173 —
+    recurrent IQN is a first-class reference feature; here the LSTM psi
+    must carry the t=8 cue to the t=11 decision through the episodic
+    buffer's random-offset windows + quantile-Huber update."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentIQNCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop, OffPolicyRunner, RunnerConfig
+    from pfrl_tpu.explorers import ConstantEpsilonGreedy
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.q_functions import RecurrentImplicitQuantileQFunction
+    from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+    steps, num_envs = 80_000, 16
+
+    class Psi(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            return h, (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentIQNCore(
+        model=RecurrentImplicitQuantileQFunction(
+            psi=Psi(), n_actions=2, n_basis_functions=32
+        ),
+        optimizer=optax.adam(3e-3),
+        explorer=ConstantEpsilonGreedy(0.2, 2),
+        gamma=0.95,
+        quantile_thresholds_N=8,
+        quantile_thresholds_N_prime=8,
+        quantile_thresholds_K=8,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        EpisodicReplayBuffer(
+            max_episodes=256, max_episode_len=12, num_lanes=num_envs,
+            subseq_len=4,
+        ),
+        RunnerConfig(
+            num_envs=num_envs,
+            replay_start_size=256,
+            update_interval=8,
+            target_update_interval=256,
+            minibatch_size=32,
+        ),
+    )
+    return _curve_loop(
+        "riqn_delayed_cue",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=16, max_steps=12),
+        steps=steps,
+        # Fine-grained early schedule: the LSTM solves the cue within a
+        # few thousand steps, so a coarse schedule hides the climb.
+        eval_every=640,
+        zoo_entry=("riqn", "delayed_cue"),
+        successful_score=1.0,
+        min_rows=6,
+        seed=3,
+    )
+
+
+def run_rtrpo_delayed_cue():
+    """Recurrent TRPO on DelayedCue — trust-region policy step (CG + FVP
+    + line search, all under jit) over a recurrent policy whose carry
+    threads collection AND the chunked TBPTT surrogate (reference
+    pfrl/agents/trpo.py:90-844 + recurrent dataset path trpo.py:12-18)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from pfrl_tpu.agents import RecurrentTRPOCore
+    from pfrl_tpu.envs import DelayedCue
+    from pfrl_tpu.experiments import JaxEvalLoop
+    from pfrl_tpu.experiments.onpolicy_runner import OnPolicyRunner
+    from pfrl_tpu.models.recurrent import LSTMCellModule
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    steps, num_envs, rollout = 160_000, 16, 24
+
+    class RPolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            dist = SoftmaxCategoricalHead()(nn.Dense(2)(h))
+            return dist, (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    class RVF(nn.Module):
+        @nn.compact
+        def __call__(self, x, carry):
+            h = nn.relu(nn.Dense(32)(x))
+            h, new_carry = LSTMCellModule(32)(h, carry[0])
+            return nn.Dense(1)(h), (new_carry,)
+
+        def initial_carry(self, batch_size):
+            return (
+                (
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                    jnp.zeros((batch_size, 32), jnp.float32),
+                ),
+            )
+
+    env = DelayedCue(episode_len=12, reveal_step=8)
+    core = RecurrentTRPOCore(
+        policy=RPolicy(),
+        vf=RVF(),
+        vf_optimizer=optax.adam(3e-3),
+        gamma=0.95,
+        entropy_coef=1e-2,
+        max_kl=0.01,
+        chunk_len=4,
+    )
+    runner = OnPolicyRunner(env, core, num_envs, rollout)
+    iters_per_eval = 4
+    return _curve_loop(
+        "rtrpo_delayed_cue",
+        runner,
+        JaxEvalLoop(env, core, num_episodes=32, max_steps=12),
+        steps=steps,
+        eval_every=num_envs * rollout * iters_per_eval,
+        zoo_entry=("rtrpo", "delayed_cue"),
+        successful_score=1.0,
+        min_rows=6,
+        run_chunk=lambda s: runner.run_iterations(s, iters_per_eval)[0],
+        seed=1,
+    )
+
+
 RUNS = {
     "dqn_cartpole": run_dqn_cartpole,
     "dqn_cartpole_bf16": run_dqn_cartpole_bf16,
@@ -1240,6 +1392,8 @@ RUNS = {
     "acer_abc": run_acer_abc,
     "drqn_delayed_cue": run_drqn_delayed_cue,
     "rppo_delayed_cue": run_rppo_delayed_cue,
+    "riqn_delayed_cue": run_riqn_delayed_cue,
+    "rtrpo_delayed_cue": run_rtrpo_delayed_cue,
     "rainbow_cartpole": run_rainbow_cartpole,
     "acer_continuous_abc": run_acer_continuous_abc,
     "al_cartpole": run_al_cartpole,
