@@ -46,6 +46,8 @@ def main():
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--processes", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--t-max", type=int, default=5)
     parser.add_argument("--outdir", default="results/a3c")
@@ -62,6 +64,7 @@ def main():
         gamma=0.99,
         entropy_coeff=1e-2,
         v_loss_coef=0.5,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     runner = OnPolicyRunner(
         AtariSim(n_actions=n_actions),

@@ -58,6 +58,7 @@ def build_core(n_actions, args):
         v_loss_coef=0.5,
         max_grad_norm=40.0,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
 
@@ -120,6 +121,7 @@ def run_ale(args):
         tau=args.tau,
         max_grad_norm=40.0,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:
@@ -152,6 +154,8 @@ def main():
     parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--num-envs", type=int, default=16)
     parser.add_argument("--update-steps", type=int, default=5)

@@ -64,6 +64,7 @@ def run_sim(args):
         use_trust_region=True,
         trust_region_delta=0.1,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     buffer = EpisodicReplayBuffer(
         max_episodes=args.max_episodes,
@@ -101,6 +102,8 @@ def main():
     parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--chunk", type=int, default=200,
                         help="scan steps per device dispatch")
     parser.add_argument("--steps", type=int, default=10**7)

@@ -81,6 +81,7 @@ def build_core_and_buffer(n_actions, args):
         explorer=explorer,
         gamma=0.99,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.prioritized:
         buffer = replay_buffers.PrioritizedReplayBuffer(
@@ -176,6 +177,7 @@ def run_ale(args):
         phi=phi,
         seed=args.seed,
         core_cls=DoubleDQNCore if args.double else DQNCore,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.load:
         agent.load(args.load)
@@ -213,6 +215,8 @@ def main():
     parser.add_argument("--prioritized", action="store_true")
     parser.add_argument("--noisy-net-sigma", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=5 * 10**7)
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--batch-size", type=int, default=32)

@@ -61,6 +61,7 @@ def run_sim(args):
         minibatch_size=args.minibatch_size,
         standardize_advantages=True,
         phi=phi,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     runner = OnPolicyRunner(
         AtariSim(n_actions=n_actions),
@@ -148,6 +149,8 @@ def main():
     parser.add_argument("--env", default="BreakoutNoFrameskip-v4")
     parser.add_argument("--sim", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=10**7)
     parser.add_argument("--num-envs", type=int, default=8)
     parser.add_argument("--update-interval", type=int, default=128 * 8)

@@ -19,6 +19,7 @@ import functools
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import experiments, spaces
@@ -93,6 +94,8 @@ def main():
     parser.add_argument("--serial-envs", action="store_true",
                         help="Run the vector env in-process (debug).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=10**7)
     parser.add_argument("--eval-n-runs", type=int, default=20)
     parser.add_argument("--eval-interval", type=int, default=100_000)
@@ -130,6 +133,7 @@ def main():
         temperature_optimizer_lr=args.lr,
         burnin_action_func=functools.partial(burnin, action_size),
         burnin_steps=args.replay_start_size,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:

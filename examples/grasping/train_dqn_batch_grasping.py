@@ -174,6 +174,8 @@ def main():
     parser.add_argument("--outdir", default="results/grasping")
     add_env_backend_args(parser)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--load", default=None)
     parser.add_argument("--final-exploration-steps", type=int, default=5 * 10**5)
@@ -229,6 +231,7 @@ def main():
         minibatch_size=args.batch_size,
         update_interval=args.update_interval,
         target_update_interval=args.target_update_interval,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:

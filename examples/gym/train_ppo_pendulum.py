@@ -12,6 +12,7 @@ import argparse
 from pfrl_tpu.experiments.demo_cli import add_demo_args
 
 import flax.linen as nn
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu.agents.ppo import PPO
@@ -54,6 +55,8 @@ def main():
     parser.add_argument("--num-envs", type=int, default=8)
     parser.add_argument("--eval-interval", type=int, default=20_000)
     parser.add_argument("--outdir", type=str, default="results/ppo_pendulum")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
@@ -76,6 +79,7 @@ def main():
         clip_eps=0.2,
         entropy_coef=0.0,
         standardize_advantages=True,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:

@@ -12,6 +12,7 @@ import argparse
 from pfrl_tpu.experiments.demo_cli import add_demo_args
 
 import flax.linen as nn
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import experiments
@@ -40,6 +41,8 @@ def main():
     parser.add_argument("--eval-interval", type=int, default=10_000)
     parser.add_argument("--eval-n-runs", type=int, default=10)
     parser.add_argument("--outdir", type=str, default="results/reinforce_cartpole")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
@@ -52,6 +55,7 @@ def main():
         batchsize=args.batchsize,
         max_episode_len=500,
         baseline=True,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed)

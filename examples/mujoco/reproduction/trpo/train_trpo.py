@@ -51,11 +51,21 @@ def main():
     parser.add_argument("--env", default="Hopper-v5")
     add_env_backend_args(parser)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="unsupported for TRPO: the CG/FVP/line-search "
+                        "second-order math is fp32 by design "
+                        "(pfrl_tpu/agents/trpo.py docstring)")
     parser.add_argument("--steps", type=int, default=2 * 10**6)
     parser.add_argument("--eval-interval", type=int, default=100_000)
     parser.add_argument("--outdir", default="results/trpo")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
+    if args.bf16:
+        parser.error(
+            "TRPO is fp32 by design: Fisher-vector products and the KL "
+            "line search are numerically delicate second-order quantities "
+            "(see pfrl_tpu/agents/trpo.py). Remove --bf16."
+        )
 
     env = make_env(args, args.seed)
     eval_env = make_env(args, args.seed + 100)

@@ -20,6 +20,7 @@ from pfrl_tpu.experiments.demo_cli import (
 )
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import explorers, replay_buffers
@@ -48,6 +49,7 @@ def objective(trial, args):
             1.0, final_eps, args.steps // 2, 2
         ),
         gamma=gamma,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
     runner = OffPolicyRunner(
         env,
@@ -87,6 +89,8 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-trials", type=int, default=30)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     parser.add_argument("--steps", type=int, default=60_000)
     add_demo_args(parser)
     args = parser.parse_args()
@@ -102,6 +106,7 @@ def main():
             optimizer=optax.adam(1e-3),
             explorer=explorers.ConstantEpsilonGreedy(0.0, 2),
             gamma=0.99,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
         )
         runner = OffPolicyRunner(
             env,

@@ -21,6 +21,7 @@ from pfrl_tpu.experiments.demo_cli import (
 )
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pfrl_tpu import explorers, replay_buffers
@@ -44,6 +45,7 @@ def run_device(steps: int, seed: int, args=None):
         optimizer=optax.adam(1e-3),
         explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.05, steps // 2, 2),
         gamma=0.99,
+        compute_dtype=jnp.bfloat16 if args is not None and args.bf16 else None,
     )
     # 3. ...driven entirely on device by the runner: act, env step, replay
     # insert, and gradient update are ONE compiled program.
@@ -90,6 +92,7 @@ def run_hostloop(steps: int, seed: int, args=None):
         replay_start_size=500,
         update_interval=1,
         target_update_interval=100,
+        compute_dtype=jnp.bfloat16 if args is not None and args.bf16 else None,
         seed=seed,
     )
     if args is not None and args.load:
@@ -126,6 +129,8 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=100_000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--hostloop", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_demo_args(parser)
     args = parser.parse_args()
     if args.hostloop:

@@ -109,6 +109,8 @@ def make_env(args, seed):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 network compute over fp32 master params")
     add_env_backend_args(parser)
     parser.add_argument("--steps", type=int, default=2 * 10**6)
     parser.add_argument("--gamma", type=float, default=0.98)
@@ -142,6 +144,7 @@ def main():
         minibatch_size=32,
         update_interval=1,
         target_update_interval=2000,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
     if args.load:

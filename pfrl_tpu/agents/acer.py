@@ -64,6 +64,7 @@ class ACERCore:
         trust_region_alpha: float = 0.99,    # avg-model Polyak rate
         use_Q_opc: bool = False,
         phi: Callable = _identity,
+        compute_dtype=None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -75,6 +76,9 @@ class ACERCore:
         self.alpha = trust_region_alpha
         self.use_Q_opc = use_Q_opc
         self.phi = phi
+        # bf16 network compute over fp32 masters (utils/precision.py); the
+        # Retrace recursion, trust-region KL, and optimizer stay fp32.
+        self.compute_dtype = compute_dtype
 
     # ----------------------------------------------------------------- setup
     def init(self, rng, example_obs, example_action=None) -> ACERState:
@@ -89,7 +93,11 @@ class ACERCore:
 
     # ------------------------------------------------------------------- act
     def forward(self, params, obs):
-        return self.model.apply(params, self.phi(obs))
+        from pfrl_tpu.utils.precision import apply_cast
+
+        return apply_cast(
+            self.model, params, self.compute_dtype, self.phi(obs)
+        )
 
     def select_action(self, state, rng, obs, t, training: bool):
         pi, _ = self.forward(state.params, obs)
@@ -331,6 +339,7 @@ class ACERContinuousCore:
         trust_region_alpha: float = 0.99,
         use_Q_opc: bool = True,
         phi: Callable = _identity,
+        compute_dtype=None,
     ):
         # use_Q_opc defaults True for continuous actions, as recommended by
         # the paper and the reference's docstring (acer.py:321-325).
@@ -345,6 +354,7 @@ class ACERContinuousCore:
         self.alpha = trust_region_alpha
         self.use_Q_opc = use_Q_opc
         self.phi = phi
+        self.compute_dtype = compute_dtype
 
     # ----------------------------------------------------------------- setup
     def init(self, rng, example_obs, example_action) -> ACERContinuousState:
@@ -360,13 +370,19 @@ class ACERContinuousCore:
 
     # ------------------------------------------------------------------- act
     def _pi_v(self, params, obs):
-        return self.model.apply(
-            params, self.phi(obs), method=ACERSDNModel.pi_v
+        from pfrl_tpu.utils.precision import apply_cast
+
+        return apply_cast(
+            self.model, params, self.compute_dtype, self.phi(obs),
+            method=ACERSDNModel.pi_v,
         )
 
     def _adv(self, params, obs, a):
-        return self.model.apply(
-            params, self.phi(obs), a, method=ACERSDNModel.advantage
+        from pfrl_tpu.utils.precision import apply_cast
+
+        return apply_cast(
+            self.model, params, self.compute_dtype, self.phi(obs), a,
+            method=ACERSDNModel.advantage,
         )
 
     def select_action(self, state, rng, obs, t, training: bool):

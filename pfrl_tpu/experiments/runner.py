@@ -344,21 +344,24 @@ class OffPolicyRunner:
             if presample:
                 rng, rng_s = jax.random.split(rng)
                 full = self.buffer.merge_storage(light, storage)
-                all_batches = self.buffer.sample(
+                # Draw ALL minibatch indices in one op, but gather each
+                # minibatch's rows inside the loop. Pre-gathering the
+                # whole [U, B, ...] batch tensor and slicing per update
+                # costs 2x the batch bytes in HBM traffic (gather write +
+                # dynamic-slice relayout copy, dequantized to f32) — the
+                # profiler measured that slice fusion as the TOP op of
+                # the DQN anchor (59% of device time at batch 32,
+                # benchmarks/profile_dqn_step.json). Per-iteration row
+                # gathers move only the rows an update consumes. The RNG
+                # stream is unchanged (sample == sample_indices+gather).
+                all_ids = self.buffer.sample_indices(
                     full, rng_s, cfg.updates_per_step * cfg.minibatch_size
-                )
-                all_batches = jax.tree.map(
-                    lambda x: x.reshape(
-                        (cfg.updates_per_step, cfg.minibatch_size)
-                        + x.shape[1:]
-                    ),
-                    all_batches,
-                )
+                ).reshape((cfg.updates_per_step, cfg.minibatch_size))
 
                 def body_pre(i, carry):
                     train_state, rng, _ = carry
                     rng, rng_u = jax.random.split(rng)
-                    batch = jax.tree.map(lambda x: x[i], all_batches)
+                    batch = self.buffer.gather(full, all_ids[i])
                     train_state, aux = self.core.update(
                         train_state, rng_u, batch
                     )

@@ -256,6 +256,29 @@ _DEVICE_ROUNDTRIPS = [
         ["--jax-env", "pendulum", "--steps", "5000", "--num-envs", "8"],
         ["--jax-env", "pendulum", "--num-envs", "8"],
     ),
+    # Recurrent device runner (episodic replay + stored carries).
+    (
+        "examples/atari/train_drqn_ale.py",
+        ["--sim", "--steps", "600", "--num-envs", "8", "--chunk", "50",
+         "--max-episodes", "64", "--replay-start-size", "128",
+         "--update-interval", "8", "--target-update-interval", "256",
+         "--max-episode-chunk", "8"],
+        ["--sim", "--num-envs", "8"],
+    ),
+    # Device episodic off-policy (ACER: Retrace + trust region).
+    (
+        "examples/atari/train_acer_ale.py",
+        ["--sim", "--steps", "600", "--num-envs", "8", "--chunk", "50",
+         "--t-max", "10", "--max-episodes", "64",
+         "--replay-start-size", "128"],
+        ["--sim", "--num-envs", "8"],
+    ),
+    # Device on-policy A3C-by-redesign (synchronous batched A2C mapping).
+    (
+        "examples/atari/reproduction/a3c/train_a3c.py",
+        ["--steps", "800", "--processes", "8", "--t-max", "5"],
+        ["--processes", "8"],
+    ),
 ]
 
 
@@ -273,22 +296,65 @@ def test_train_then_demo_reload(tmp_path, script, train_args, demo_args):
     assert "n_episodes:" in out and "mean:" in out
 
 
+_HOST_ROUNDTRIPS = [
+    # (script, train_args(outdir is appended), demo_args) — every host
+    # driver family: on-policy PPO shell, episodic REINFORCE, off-policy
+    # actor-critic shells (SAC/TD3), categorical (rainbow), and the
+    # vector-env batch driver (grasping DoubleDQN, atlas SAC).
+    (
+        "examples/gym/train_ppo_pendulum.py",
+        ["--steps", "4200", "--num-envs", "4", "--eval-interval", "4000"],
+        ["--num-envs", "4"],
+    ),
+    (
+        "examples/gym/train_reinforce_gym.py",
+        ["--steps", "1500", "--eval-interval", "1500"],
+        [],
+    ),
+    (
+        "examples/mujoco/reproduction/soft_actor_critic/train_soft_actor_critic.py",
+        ["--jax-env", "--steps", "900", "--replay-start-size", "256",
+         "--eval-interval", "800"],
+        ["--jax-env"],
+    ),
+    (
+        "examples/mujoco/reproduction/td3/train_td3.py",
+        ["--jax-env", "--steps", "900", "--replay-start-size", "256",
+         "--eval-interval", "800"],
+        ["--jax-env"],
+    ),
+    (
+        "examples/slimevolley/train_rainbow.py",
+        ["--jax-env", "--steps", "500", "--replay-start-size", "128",
+         "--eval-interval", "450"],
+        ["--jax-env"],
+    ),
+    (
+        "examples/grasping/train_dqn_batch_grasping.py",
+        ["--jax-env", "--steps", "400", "--num-envs", "2", "--serial-envs",
+         "--replay-start-size", "128", "--eval-interval", "350"],
+        ["--jax-env", "--num-envs", "2", "--serial-envs"],
+    ),
+]
+
+
 @pytest.mark.slow
-def test_shell_train_then_demo_reload(tmp_path):
-    """Host-shell path: the driver saves <t>_finish via agent.save; --demo
-    reloads it through agent.load (the reference CLI contract)."""
+@pytest.mark.parametrize(
+    "script,train_args,demo_args",
+    _HOST_ROUNDTRIPS,
+    ids=[s.split("/")[-1] for s, _, _ in _HOST_ROUNDTRIPS],
+)
+def test_shell_train_then_demo_reload(tmp_path, script, train_args, demo_args):
+    """Host-driver path: the driver saves <t>_finish via agent.save; --demo
+    reloads it through agent.load (the reference CLI contract,
+    examples_tests/*.sh)."""
     import glob
 
     outdir = str(tmp_path / "out")
-    run_example(
-        "examples/gym/train_ppo_pendulum.py",
-        ["--steps", "4200", "--num-envs", "4", "--eval-interval", "4000",
-         "--outdir", outdir],
-    )
+    run_example(script, train_args + ["--outdir", outdir], timeout=900)
     finish = glob.glob(os.path.join(outdir, "*_finish"))
     assert finish, os.listdir(outdir)
     out = run_example(
-        "examples/gym/train_ppo_pendulum.py",
-        ["--demo", "--load", finish[0], "--num-envs", "4"],
+        script, demo_args + ["--demo", "--load", finish[0]], timeout=900
     )
     assert "n_episodes:" in out and "mean:" in out

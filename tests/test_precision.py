@@ -542,3 +542,61 @@ def test_bf16_c51_learns_abc():
     evaluator = JaxEvalLoop(env, core, num_episodes=8, max_steps=3)
     returns = evaluator.evaluate(state.train_state, jax.random.PRNGKey(1))
     assert np.all(returns >= 1.0), returns
+
+
+def test_bf16_acer_learns_abc():
+    """ACER with bf16 network compute (round 5: compute_dtype added to
+    ACERCore) still solves episodic ABC — the Retrace recursion and
+    trust-region KL stay fp32 behind the cast boundary."""
+    from pfrl_tpu.action_value import DiscreteActionValue
+    from pfrl_tpu.agents.acer import ACERCore
+    from pfrl_tpu.distributions import Categorical
+    from pfrl_tpu.envs import ABC
+    from pfrl_tpu.experiments.runner import (
+        JaxEvalLoop,
+        OffPolicyRunner,
+        RunnerConfig,
+    )
+    from pfrl_tpu.replay.episodic import EpisodicReplayBuffer
+
+    class PiQ(nn.Module):
+        n_actions: int = 2
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(32)(x))
+            return (
+                Categorical(logits=nn.Dense(self.n_actions)(h)),
+                DiscreteActionValue(q_values=nn.Dense(self.n_actions)(h)),
+            )
+
+    env = ABC(size=2, episodic=True, deterministic=True)
+    core = ACERCore(
+        model=PiQ(),
+        optimizer=optax.adam(5e-3),
+        gamma=0.9,
+        beta=1e-2,
+        compute_dtype=jnp.bfloat16,
+    )
+    runner = OffPolicyRunner(
+        env,
+        core,
+        EpisodicReplayBuffer(max_episodes=512, max_episode_len=4, num_lanes=16),
+        RunnerConfig(
+            num_envs=16,
+            replay_start_size=128,
+            update_interval=16,
+            target_update_interval=10**9,
+            minibatch_size=16,
+        ),
+    )
+    state = runner.init(jax.random.PRNGKey(0))
+    state, _ = runner.run_chunk(state, 500)
+    returns = JaxEvalLoop(env, core, num_episodes=5, max_steps=4).evaluate(
+        state.train_state, jax.random.PRNGKey(1)
+    )
+    assert np.all(returns >= 1.0), returns
+    # masters stayed fp32
+    for leaf in jax.tree.leaves(state.train_state.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
