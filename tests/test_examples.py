@@ -196,8 +196,9 @@ def test_grasping_dqn_batch_example(tmp_path):
     ids=["ddpg", "ppo", "sac", "td3", "trpo"],
 )
 def test_mujoco_reproduction_argparse(script):
-    """MuJoCo itself is absent in-container; at minimum every reproduction
-    script's CLI must construct (--help exits 0 and prints its options)."""
+    """Every reproduction script's CLI must construct (--help exits 0 and
+    prints its options). Real-env training paths are covered by
+    tests/test_real_env_training.py and the reload matrix below."""
     out = run_example(script, ["--help"], timeout=120)
     assert "--seed" in out
 

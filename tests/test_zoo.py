@@ -387,3 +387,74 @@ def test_load_zoo_rtrpo_delayed_cue_and_eval():
         jax.device_put(state), jax.random.PRNGKey(1)
     )
     assert returns.mean() >= 1.0, returns
+
+
+@pytest.mark.slow
+def test_load_zoo_sac_hopper_real_and_eval():
+    """Restore the real-MuJoCo SAC Hopper-v5 zoo checkpoint (best of the
+    1M-step reproduction run, benchmarks/curves/sac_hopper_real) and eval
+    on the REAL env: greedy mean must stay in the published band
+    (PFRL Hopper-v2 @1M: 3,279; reference
+    examples/mujoco/reproduction/soft_actor_critic/README.md:56)."""
+    import functools
+
+    import flax.linen as nn
+    import optax
+
+    pytest.importorskip("gymnasium")
+    pytest.importorskip("mujoco")
+
+    import jax
+
+    from pfrl_tpu import experiments, spaces
+    from pfrl_tpu.agents.soft_actor_critic import SoftActorCritic
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import SquashedGaussianHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+    from pfrl_tpu.replay import ReplayBuffer
+    from pfrl_tpu.utils.pretrained_models import download_model
+    from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+    class Policy(nn.Module):
+        action_size: int = 3
+
+        @nn.compact
+        def __call__(self, x):
+            h = MLP(out_size=2 * self.action_size, hidden_sizes=(256, 256))(x)
+            return SquashedGaussianHead(action_size=self.action_size)(h)
+
+    path, exists = download_model("sac", "hopper_real", model_type="best")
+    assert exists
+    agent = SoftActorCritic(
+        Policy(),
+        FCSAQFunction(n_hidden_channels=256, n_hidden_layers=2),
+        FCSAQFunction(n_hidden_channels=256, n_hidden_layers=2),
+        optax.adam(3e-4),
+        optax.adam(3e-4),
+        optax.adam(3e-4),
+        ReplayBuffer(1000, gamma=0.99),
+        0.99,
+        action_space=spaces.box(-1.0, 1.0, (3,)),
+        replay_start_size=10,
+        burnin_action_func=functools.partial(
+            lambda n, rng, b: jax.random.uniform(rng, (b, n), minval=-1.0), 3
+        ),
+        burnin_steps=0,
+        seed=0,
+    )
+    agent.load(path)
+    eval_env = SerialVectorEnv(
+        [
+            NormalizeActionSpace(
+                CastObservationToFloat32(
+                    make_gymnasium_env("Hopper-v5", seed=10_000 + i)
+                )
+            )
+            for i in range(5)
+        ]
+    )
+    stats = experiments.eval_performance(
+        env=eval_env, agent=agent, n_steps=None, n_episodes=5
+    )
+    assert stats["mean"] >= 2500.0, stats
