@@ -16,7 +16,12 @@ evidences (a) the sharded program compiles and runs at every device count,
 (c) replicas stay bitwise identical, i.e. the XLA-inserted gradient
 all-reduce is deterministic. Real ICI scaling needs real chips.
 
-Writes MULTICHIP_SCALING_r04.json at the repo root.
+Round 5 adds the ON-POLICY path: the same weak-scaling points run a
+dp-sharded PPO OnPolicyRunner (16 lanes/device, rollout 16, 2 epochs)
+with the identical bitwise-replica check — covering both training
+families (VERDICT r4 Missing #3).
+
+Writes MULTICHIP_SCALING_r05.json at the repo root.
 
 Usage: tools/run_multichip_scaling.sh   (re-execs with the CPU env vars)
 """
@@ -109,6 +114,62 @@ def run_point(n_devices, scan_steps=100):
     }
 
 
+def run_point_onpolicy(n_devices, iterations=20):
+    import flax.linen as nn
+    import numpy as np
+    import optax
+
+    import jax
+
+    from pfrl_tpu.agents.ppo import PPOCore
+    from pfrl_tpu.envs import CartPole, TimeLimit
+    from pfrl_tpu.experiments import OnPolicyRunner
+    from pfrl_tpu.parallel import make_mesh
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+
+    devices = jax.devices()
+    mesh = make_mesh(("dp",), (n_devices,), devices[:n_devices])
+    num_envs, rollout = 16 * n_devices, 16
+
+    class PiV(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            hp = nn.tanh(nn.Dense(64)(x))
+            hv = nn.tanh(nn.Dense(64)(x))
+            return (
+                SoftmaxCategoricalHead()(nn.Dense(2)(hp)),
+                nn.Dense(1)(hv),
+            )
+
+    core = PPOCore(
+        model=PiV(),
+        optimizer=optax.adam(3e-4),
+        gamma=0.99,
+        epochs=2,
+        minibatch_size=64,
+    )
+    runner = OnPolicyRunner(
+        TimeLimit(CartPole()), core, num_envs=num_envs,
+        rollout_len=rollout, mesh=mesh,
+    )
+    state = runner.init(jax.random.PRNGKey(0))
+    state, aux = runner.run_iterations(state, iterations)
+    float(np.asarray(aux["loss"][-1]))
+    t0 = time.time()
+    state, aux = runner.run_iterations(state, iterations)
+    float(np.asarray(aux["loss"][-1]))
+    elapsed = time.time() - t0
+    sps = iterations * rollout * num_envs / elapsed
+    bitwise = replicas_bitwise_equal(state.train_state.params)
+    return {
+        "n_devices": n_devices,
+        "num_envs": num_envs,
+        "env_steps_per_sec": round(sps, 1),
+        "per_device_env_steps_per_sec": round(sps / n_devices, 1),
+        "replicas_bitwise_equal": bitwise,
+    }
+
+
 def main():
     import jax
 
@@ -118,6 +179,12 @@ def main():
         points.append(p)
         print(p, flush=True)
         assert p["replicas_bitwise_equal"], f"replica divergence at n={n}"
+    onpolicy_points = []
+    for n in (1, 2, 4, 8):
+        p = run_point_onpolicy(n)
+        onpolicy_points.append(p)
+        print("ppo", p, flush=True)
+        assert p["replicas_bitwise_equal"], f"PPO replica divergence at n={n}"
     out = {
         "backend": jax.default_backend(),
         "note": (
@@ -128,8 +195,9 @@ def main():
             "real chips."
         ),
         "points": points,
+        "onpolicy_points": onpolicy_points,
     }
-    path = os.path.join(REPO, "MULTICHIP_SCALING_r04.json")
+    path = os.path.join(REPO, "MULTICHIP_SCALING_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
