@@ -46,52 +46,79 @@ def main():
     ap.add_argument("--log", default=os.path.join(
         REPO, "benchmarks", "good_window_attempts.json"))
     ap.add_argument("--with-scaling", action="store_true")
+    ap.add_argument("--pause-pgid-file", default=None,
+                    help="file holding a process-group id (one integer) to "
+                    "SIGSTOP while probing/capturing and SIGCONT after, so "
+                    "a concurrent training run does not pollute the "
+                    "measurement (and vice versa)")
     args = ap.parse_args()
+
+    def paused_pgid():
+        if not args.pause_pgid_file:
+            return None
+        try:
+            with open(args.pause_pgid_file) as f:
+                return int(f.read().strip().split("=")[-1])
+        except (OSError, ValueError):
+            return None
 
     attempts = []
     deadline = time.time() + args.deadline_min * 60
     captured = False
     while time.time() < deadline:
-        floor = probe_floor_us()
-        attempts.append({
-            "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            "floor_us": round(floor, 1),
-            "good": floor < args.threshold_us,
-        })
-        print(f"[capture] floor={floor:.1f}us "
-              f"({'GOOD' if floor < args.threshold_us else 'degraded'})",
-              flush=True)
-        if floor < args.threshold_us:
-            r = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                capture_output=True, text=True, timeout=900,
-                cwd=REPO,
-            )
-            line = next(
-                (ln for ln in (r.stdout or "").splitlines()
-                 if ln.startswith("{")), None,
-            )
-            if line:
-                bench = json.loads(line)
-                # Only keep it if the window HELD through the bench.
-                if not bench.get("link_degraded", True):
-                    with open(args.out, "w") as f:
-                        json.dump(bench, f, indent=1)
-                    print(f"[capture] good-window bench -> {args.out}",
+        pgid = paused_pgid()
+        if pgid:
+            try:
+                os.killpg(pgid, 19)  # SIGSTOP
+            except ProcessLookupError:
+                pgid = None
+        try:
+            floor = probe_floor_us()
+            attempts.append({
+                "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "floor_us": round(floor, 1),
+                "good": floor < args.threshold_us,
+            })
+            print(f"[capture] floor={floor:.1f}us "
+                  f"({'GOOD' if floor < args.threshold_us else 'degraded'})",
+                  flush=True)
+            if floor < args.threshold_us:
+                r = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    capture_output=True, text=True, timeout=900,
+                    cwd=REPO,
+                )
+                line = next(
+                    (ln for ln in (r.stdout or "").splitlines()
+                     if ln.startswith("{")), None,
+                )
+                if line:
+                    bench = json.loads(line)
+                    # Only keep it if the window HELD through the bench.
+                    if not bench.get("link_degraded", True):
+                        with open(args.out, "w") as f:
+                            json.dump(bench, f, indent=1)
+                        print(f"[capture] good-window bench -> {args.out}",
+                              flush=True)
+                        captured = True
+                        if args.with_scaling:
+                            subprocess.run(
+                                [sys.executable,
+                                 os.path.join(REPO, "tools", "bench_scaling.py")],
+                                timeout=1800, cwd=REPO,
+                            )
+                        break
+                    attempts[-1]["bench_link_degraded_midrun"] = True
+                    print("[capture] window degraded mid-bench; retrying",
                           flush=True)
-                    captured = True
-                    if args.with_scaling:
-                        subprocess.run(
-                            [sys.executable,
-                             os.path.join(REPO, "tools", "bench_scaling.py")],
-                            timeout=1800, cwd=REPO,
-                        )
-                    break
-                attempts[-1]["bench_link_degraded_midrun"] = True
-                print("[capture] window degraded mid-bench; retrying",
-                      flush=True)
-            else:
-                attempts[-1]["bench_failed"] = (r.stderr or "")[-300:]
+                else:
+                    attempts[-1]["bench_failed"] = (r.stderr or "")[-300:]
+        finally:
+            if pgid:
+                try:
+                    os.killpg(pgid, 18)  # SIGCONT
+                except ProcessLookupError:
+                    pass
         time.sleep(args.interval_s)
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
     with open(args.log, "w") as f:
