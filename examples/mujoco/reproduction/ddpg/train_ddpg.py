@@ -55,15 +55,41 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=10**6)
     parser.add_argument("--eval-interval", type=int, default=5000)
+    parser.add_argument("--eval-n-envs", type=int, default=1,
+                        help="evaluate over this many parallel envs "
+                        "(>1 batches eval acts into vector dispatches)")
+    parser.add_argument("--num-envs", type=int, default=1,
+                        help="parallel train envs; 1 = reference-exact "
+                        "serial protocol, >1 = batched collection with the "
+                        "1-update-per-env-step ratio preserved")
+    parser.add_argument("--update-burst", action="store_true",
+                        help="run the updates due at each step as one "
+                        "jitted scan dispatch (TPU dispatch amortization)")
     parser.add_argument("--replay-start-size", type=int, default=10_000)
+    parser.add_argument("--checkpoint-freq", type=int, default=None,
+                        help="save a checkpoint every N steps")
     parser.add_argument("--outdir", default="results/ddpg")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 network compute over fp32 master params")
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
-    env = make_env(args, args.seed)
-    eval_env = make_env(args, args.seed + 100)
+    from pfrl_tpu.envs import SerialVectorEnv
+
+    if args.num_envs > 1:
+        env = SerialVectorEnv(
+            [make_env(args, args.seed * args.num_envs + i)
+             for i in range(args.num_envs)]
+        )
+    else:
+        env = make_env(args, args.seed)
+    if args.eval_n_envs > 1:
+        eval_env = SerialVectorEnv(
+            [make_env(args, args.seed + 100 + i)
+             for i in range(args.eval_n_envs)]
+        )
+    else:
+        eval_env = make_env(args, args.seed + 100)
     action_size = env.action_space.shape[0]
 
     # Reference hyperparameters (train_ddpg.py:70-120).
@@ -82,6 +108,7 @@ def main():
         soft_update_tau=5e-3,
         burnin_action_func=functools.partial(burnin, action_size),
         burnin_steps=args.replay_start_size,
+        update_burst=args.update_burst,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
@@ -96,7 +123,12 @@ def main():
             f"median: {stats['median']} stdev: {stats['stdev']}"
         )
         return
-    experiments.train_agent_with_evaluation(
+    driver = (
+        experiments.train_agent_batch_with_evaluation
+        if args.num_envs > 1
+        else experiments.train_agent_with_evaluation
+    )
+    driver(
         agent,
         env,
         steps=args.steps,
@@ -105,6 +137,7 @@ def main():
         eval_interval=args.eval_interval,
         outdir=args.outdir,
         eval_env=eval_env,
+        checkpoint_freq=args.checkpoint_freq,
     )
 
 

@@ -259,7 +259,12 @@ def test_load_zoo_rppo_delayed_cue_and_eval():
 def test_round5_zoo_entries_resolve():
     from pfrl_tpu.utils.pretrained_models import download_model
 
-    for alg, env_name in [("riqn", "delayed_cue"), ("rtrpo", "delayed_cue")]:
+    for alg, env_name in [
+        ("riqn", "delayed_cue"),
+        ("rtrpo", "delayed_cue"),
+        ("sac", "hopper_real"),
+        ("td3", "halfcheetah_real"),
+    ]:
         path, exists = download_model(alg, env_name, model_type="best")
         assert exists, (alg, env_name)
         assert os.path.exists(os.path.join(path, "train_state.msgpack"))
@@ -458,3 +463,148 @@ def test_load_zoo_sac_hopper_real_and_eval():
         env=eval_env, agent=agent, n_steps=None, n_episodes=5
     )
     assert stats["mean"] >= 2500.0, stats
+
+
+@pytest.mark.slow
+def test_load_zoo_td3_halfcheetah_real_and_eval():
+    """Restore the real-MuJoCo TD3 HalfCheetah-v5 zoo checkpoint (best of
+    the 1M-step reproduction run, benchmarks/curves/td3_halfcheetah_real)
+    and eval on the REAL env: greedy mean must stay in the reproduction
+    band (PFRL HalfCheetah-v2 @1M max-avg: 10,417; reference
+    examples/mujoco/reproduction/td3/README.md:62)."""
+    import functools
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    pytest.importorskip("gymnasium")
+    pytest.importorskip("mujoco")
+
+    import jax
+
+    from pfrl_tpu import experiments, explorers, spaces
+    from pfrl_tpu.agents.td3 import TD3
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.models import MLP
+    from pfrl_tpu.policies import DeterministicHead
+    from pfrl_tpu.q_functions import FCSAQFunction
+    from pfrl_tpu.replay import ReplayBuffer
+    from pfrl_tpu.utils.pretrained_models import download_model
+    from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+    class Policy(nn.Module):
+        action_size: int = 6
+
+        @nn.compact
+        def __call__(self, x):
+            h = MLP(out_size=self.action_size, hidden_sizes=(400, 300))(x)
+            return DeterministicHead()(jnp.tanh(h))
+
+    path, exists = download_model("td3", "halfcheetah_real", model_type="best")
+    assert exists
+    agent = TD3(
+        Policy(),
+        FCSAQFunction(n_hidden_channels=400, n_hidden_layers=2),
+        FCSAQFunction(n_hidden_channels=400, n_hidden_layers=2),
+        optax.adam(3e-4),
+        optax.adam(3e-4),
+        optax.adam(3e-4),
+        ReplayBuffer(1000, gamma=0.99),
+        0.99,
+        explorers.AdditiveGaussian(0.1, low=-1.0, high=1.0),
+        action_space=spaces.box(-1.0, 1.0, (6,)),
+        replay_start_size=10,
+        burnin_action_func=functools.partial(
+            lambda n, rng, b: jax.random.uniform(rng, (b, n), minval=-1.0), 6
+        ),
+        burnin_steps=0,
+        seed=0,
+    )
+    agent.load(path)
+    eval_env = SerialVectorEnv(
+        [
+            NormalizeActionSpace(
+                CastObservationToFloat32(
+                    make_gymnasium_env("HalfCheetah-v5", seed=10_000 + i)
+                )
+            )
+            for i in range(5)
+        ]
+    )
+    stats = experiments.eval_performance(
+        env=eval_env, agent=agent, n_steps=None, n_episodes=5
+    )
+    assert stats["mean"] >= 8500.0, stats
+
+
+@pytest.mark.slow
+def test_load_zoo_ppo_hopper_real_and_eval():
+    """Restore the real-MuJoCo PPO Hopper-v5 zoo checkpoint (best of the
+    2M-step reproduction run, benchmarks/curves/ppo_hopper_real) and eval
+    on the REAL env: greedy mean must stay in the published band
+    (PFRL Hopper-v2 @2M: 2,793 +/- 65; reference
+    examples/mujoco/reproduction/ppo/README.md:57)."""
+    import flax.linen as nn
+    import optax
+
+    pytest.importorskip("gymnasium")
+    pytest.importorskip("mujoco")
+
+    from pfrl_tpu import experiments
+    from pfrl_tpu.agents.ppo import PPO
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.policies import GaussianHeadWithStateIndependentCovariance
+    from pfrl_tpu.utils.pretrained_models import download_model
+    from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+    class PiV(nn.Module):
+        action_size: int = 3
+
+        @nn.compact
+        def __call__(self, x):
+            hp = nn.tanh(nn.Dense(64)(x))
+            hp = nn.tanh(nn.Dense(64)(hp))
+            mean = nn.Dense(
+                self.action_size,
+                kernel_init=nn.initializers.variance_scaling(
+                    1e-4, "fan_in", "normal"
+                ),
+            )(hp)
+            dist = GaussianHeadWithStateIndependentCovariance(
+                action_size=self.action_size
+            )(mean)
+            hv = nn.tanh(nn.Dense(64)(x))
+            hv = nn.tanh(nn.Dense(64)(hv))
+            return dist, nn.Dense(1)(hv)
+
+    path, exists = download_model("ppo", "hopper_real", model_type="best")
+    assert exists
+    agent = PPO(
+        PiV(),
+        optax.adam(3e-4),
+        gamma=0.995,
+        lambd=0.97,
+        update_interval=2048,
+        minibatch_size=64,
+        epochs=10,
+        clip_eps=0.2,
+        entropy_coef=0.0,
+        standardize_advantages=True,
+        seed=0,
+    )
+    agent.load(path)
+    eval_env = SerialVectorEnv(
+        [
+            NormalizeActionSpace(
+                CastObservationToFloat32(
+                    make_gymnasium_env("Hopper-v5", seed=10_000 + i)
+                )
+            )
+            for i in range(5)
+        ]
+    )
+    stats = experiments.eval_performance(
+        env=eval_env, agent=agent, n_steps=None, n_episodes=5
+    )
+    assert stats["mean"] >= 2200.0, stats
