@@ -3,10 +3,22 @@
 Reference parity: examples/gym/train_dqn_gym.py — DQN with an FC
 Q-function for discrete action spaces and NAF
 (FCQuadraticStateQFunction, Gu et al. 2016) for continuous ones, selected
-from the env's action space exactly as the reference does.
+from the env's action space exactly as the reference does
+(reference train_dqn_gym.py:45 takes any real gym env id; :95-130 switches
+DQN/NAF on the action space).
 
-    python train_dqn_gym.py --env cartpole   # discrete DQN
-    python train_dqn_gym.py --env pendulum   # continuous NAF
+Two backends, mirroring the mujoco reproduction scripts:
+
+* ``--env <name>`` where name is one of the in-repo simulators
+  (``cartpole``/``mountaincar``/``pendulum``) runs fully on device through
+  ``OffPolicyRunner`` at device speed.
+* ``--env <gymnasium-id>`` (anything else, e.g. ``LunarLander-v3``) trains
+  the host-shell agent on the real environment; an unavailable id is a
+  hard error, never a silent fallback.
+
+    python train_dqn_gym.py --env cartpole         # on-device discrete DQN
+    python train_dqn_gym.py --env pendulum         # on-device continuous NAF
+    python train_dqn_gym.py --env LunarLander-v3   # real gymnasium env
 """
 
 import argparse
@@ -73,9 +85,96 @@ def make_core(env, args):
     )
 
 
+def run_gymnasium(args):
+    """Host-shell DQN/DoubleDQN on a real gymnasium env (reference
+    train_dqn_gym.py trains real gym envs unconditionally)."""
+    from pfrl_tpu import experiments
+    from pfrl_tpu.agents import DQN, DoubleDQNCore
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+    def make_env(seed):
+        env = CastObservationToFloat32(make_gymnasium_env(args.env, seed=seed))
+        if not hasattr(env.action_space, "n"):
+            env = NormalizeActionSpace(env)
+        return env
+
+    probe = make_env(args.seed)
+    core = make_core(probe, args)
+    decay = args.eps_decay_steps or args.steps // 2
+    if hasattr(probe.action_space, "n"):
+        explorer = explorers.LinearDecayEpsilonGreedy(
+            1.0, args.final_epsilon, decay, probe.action_space.n
+        )
+    else:
+        explorer = core.explorer
+    agent = DQN(
+        q_function=core.model,
+        optimizer=optax.adam(args.lr),
+        replay_buffer=replay_buffers.ReplayBuffer(
+            args.buffer_size, gamma=args.gamma, num_lanes=max(1, args.num_envs)
+        ),
+        gamma=args.gamma,
+        explorer=explorer,
+        replay_start_size=args.replay_start_size,
+        minibatch_size=args.minibatch_size,
+        update_interval=args.update_interval,
+        target_update_interval=args.target_update_interval,
+        seed=args.seed,
+        core_cls=DoubleDQNCore if args.double else DQNCore,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    if args.load:
+        agent.load(args.load)
+    if args.demo:
+        stats = experiments.eval_performance(
+            env=make_env(args.seed + 100), agent=agent, n_steps=None,
+            n_episodes=10,
+        )
+        print(
+            f"n_episodes: {stats['episodes']} mean: {stats['mean']} "
+            f"median: {stats['median']} stdev: {stats['stdev']}"
+        )
+        return
+    if args.num_envs > 1:
+        env = SerialVectorEnv(
+            [make_env(args.seed * args.num_envs + i)
+             for i in range(args.num_envs)]
+        )
+        eval_env = SerialVectorEnv(
+            [make_env(args.seed + 100 + i) for i in range(10)]
+        )
+        experiments.train_agent_batch_with_evaluation(
+            agent,
+            env,
+            steps=args.steps,
+            eval_n_steps=None,
+            eval_n_episodes=10,
+            eval_interval=args.eval_interval,
+            outdir=args.outdir,
+            eval_env=eval_env,
+        )
+    else:
+        experiments.train_agent_with_evaluation(
+            agent,
+            probe,
+            steps=args.steps,
+            eval_n_steps=None,
+            eval_n_episodes=10,
+            eval_interval=args.eval_interval,
+            outdir=args.outdir,
+            eval_env=make_env(args.seed + 100),
+        )
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", choices=sorted(ENVS), default="cartpole")
+    parser.add_argument(
+        "--env", default="cartpole",
+        help="an in-repo simulator name (%s) for the fully on-device "
+        "runner, or any real gymnasium env id (e.g. LunarLander-v3)"
+        % "/".join(sorted(ENVS)),
+    )
     parser.add_argument("--steps", type=int, default=200_000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true",
@@ -84,16 +183,30 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--gamma", type=float, default=0.99)
     parser.add_argument("--final-epsilon", type=float, default=0.05)
+    parser.add_argument("--eps-decay-steps", type=int, default=None,
+                        help="epsilon decay horizon (default: steps/2)")
     parser.add_argument("--n-hidden-channels", type=int, default=100)
     parser.add_argument("--n-hidden-layers", type=int, default=2)
     parser.add_argument("--replay-start-size", type=int, default=1024)
+    parser.add_argument("--buffer-size", type=int, default=10**5)
+    parser.add_argument("--double", action="store_true",
+                        help="Double DQN target (gymnasium backend)")
     parser.add_argument("--update-per", type=int, default=32,
-                        help="env transitions per gradient step")
+                        help="env transitions per gradient step "
+                        "(on-device backend)")
+    parser.add_argument("--update-interval", type=int, default=1,
+                        help="env transitions per gradient step "
+                        "(gymnasium backend; reference default 1)")
     parser.add_argument("--target-update-interval", type=int, default=2048)
     parser.add_argument("--minibatch-size", type=int, default=64)
     parser.add_argument("--eval-interval", type=int, default=50_000)
+    parser.add_argument("--outdir", default="results/dqn_gym")
     add_demo_args(parser)
     args = parser.parse_args()
+
+    if args.env not in ENVS:
+        run_gymnasium(args)
+        return
 
     env = ENVS[args.env]()
     core = make_core(env, args)

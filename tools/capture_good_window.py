@@ -34,7 +34,9 @@ def probe_floor_us():
     for line in out.splitlines():
         if "dispatch floor:" in line:
             return float(line.split("dispatch floor:")[1].split("us")[0])
-    return float("inf")
+    # Probe crashed (e.g. the tunnel refused a second client); treat as a
+    # failed attempt, not a float — inf would serialize as invalid JSON.
+    return None
 
 
 def main():
@@ -74,15 +76,19 @@ def main():
                 pgid = None
         try:
             floor = probe_floor_us()
+            good = floor is not None and floor < args.threshold_us
             attempts.append({
                 "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                "floor_us": round(floor, 1),
-                "good": floor < args.threshold_us,
+                "floor_us": None if floor is None else round(floor, 1),
+                "good": good,
             })
-            print(f"[capture] floor={floor:.1f}us "
-                  f"({'GOOD' if floor < args.threshold_us else 'degraded'})",
-                  flush=True)
-            if floor < args.threshold_us:
+            print(
+                "[capture] floor="
+                + ("probe-failed" if floor is None else f"{floor:.1f}us")
+                + f" ({'GOOD' if good else 'degraded'})",
+                flush=True,
+            )
+            if good:
                 r = subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench.py")],
                     capture_output=True, text=True, timeout=900,
