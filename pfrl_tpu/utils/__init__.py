@@ -9,7 +9,7 @@ from pfrl_tpu.utils.copy_param import (
     soft_copy_param,
     synchronize_parameters,
 )
-from pfrl_tpu.utils.contexts import set_temporarily
+from pfrl_tpu.utils.contexts import evaluating, set_temporarily
 from pfrl_tpu.utils.is_return_code_zero import is_return_code_zero
 from pfrl_tpu.utils.mode_of_distribution import mode_of_distribution
 from pfrl_tpu.utils.profiling import StepTimer, trace
@@ -34,6 +34,7 @@ __all__ = [
     "ask_yes_no",
     "atari_phi",
     "batch_states",
+    "evaluating",
     "set_temporarily",
     "is_return_code_zero",
     "AverageRewardFilter",

@@ -17,3 +17,16 @@ def set_temporarily(obj, attr, value):
         yield
     finally:
         setattr(obj, attr, old)
+
+
+@contextlib.contextmanager
+def evaluating(agent):
+    """Temporarily switch a host agent shell to evaluation mode.
+
+    Reference: pfrl/utils/contexts.py ``evaluating(net)`` flips a torch
+    module's train/eval mode; here the analogous switch is the host
+    shell's ``training`` flag (device cores are pure functions and take an
+    explicit ``greedy`` flag instead).
+    """
+    with set_temporarily(agent, "training", False):
+        yield agent

@@ -265,3 +265,16 @@ def test_bound_by_tanh():
     np.testing.assert_allclose(np.asarray(y2), [[0.0, 1.0], [0.0, 1.0]])
     g = jax.grad(lambda v: bound_by_tanh(v, -1.0, 1.0))(0.0)
     np.testing.assert_allclose(float(g), 1.0)
+
+
+def test_evaluating_flips_training_flag():
+    from pfrl_tpu.utils import evaluating
+
+    class Agent:
+        training = True
+
+    a = Agent()
+    with evaluating(a) as inner:
+        assert inner is a
+        assert a.training is False
+    assert a.training is True
