@@ -67,6 +67,17 @@ def main():
     attempts = []
     deadline = time.time() + args.deadline_min * 60
     captured = False
+
+    def flush_log():
+        # Written after EVERY attempt so the artifact exists even if the
+        # session is killed before the deadline.
+        os.makedirs(os.path.dirname(args.log), exist_ok=True)
+        with open(args.log, "w") as f:
+            json.dump(
+                {"captured_good_window": captured, "attempts": attempts}, f,
+                indent=1,
+            )
+
     while time.time() < deadline:
         pgid = paused_pgid()
         if pgid:
@@ -125,13 +136,11 @@ def main():
                     os.killpg(pgid, 18)  # SIGCONT
                 except ProcessLookupError:
                     pass
+        flush_log()
+        if captured:
+            break
         time.sleep(args.interval_s)
-    os.makedirs(os.path.dirname(args.log), exist_ok=True)
-    with open(args.log, "w") as f:
-        json.dump(
-            {"captured_good_window": captured, "attempts": attempts}, f,
-            indent=1,
-        )
+    flush_log()
     print(f"[capture] done: captured={captured}, "
           f"{len(attempts)} attempts logged -> {args.log}", flush=True)
 
