@@ -338,6 +338,21 @@ _HOST_ROUNDTRIPS = [
     ),
 ]
 
+try:  # real-Box2D discrete roundtrip (train_dqn_gym gymnasium backend)
+    import Box2D  # noqa: F401
+
+    _HOST_ROUNDTRIPS.append(
+        (
+            "examples/gym/train_dqn_gym.py",
+            ["--env", "LunarLander-v3", "--steps", "400", "--num-envs", "1",
+             "--replay-start-size", "128", "--target-update-interval", "200",
+             "--eval-interval", "350"],
+            ["--env", "LunarLander-v3"],
+        )
+    )
+except ImportError:
+    pass
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize(

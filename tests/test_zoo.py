@@ -264,6 +264,7 @@ def test_round5_zoo_entries_resolve():
         ("rtrpo", "delayed_cue"),
         ("sac", "hopper_real"),
         ("td3", "halfcheetah_real"),
+        ("double_dqn", "lunarlander_real"),
     ]:
         path, exists = download_model(alg, env_name, model_type="best")
         assert exists, (alg, env_name)
@@ -608,3 +609,55 @@ def test_load_zoo_ppo_hopper_real_and_eval():
         env=eval_env, agent=agent, n_steps=None, n_episodes=5
     )
     assert stats["mean"] >= 2200.0, stats
+
+
+@pytest.mark.slow
+def test_load_zoo_double_dqn_lunarlander_real_and_eval():
+    """Restore the real-Box2D DoubleDQN LunarLander-v3 zoo checkpoint
+    (best of the 300k-step run, benchmarks/curves/ddqn_lunarlander_real)
+    and eval on the REAL env: greedy mean must clear the env's documented
+    solve threshold of 200 (discrete-control real-env evidence; reference
+    analog: examples/gym/train_dqn_gym.py trains real gym envs)."""
+    import optax
+
+    pytest.importorskip("gymnasium")
+    pytest.importorskip("Box2D")
+
+    from pfrl_tpu import experiments, explorers
+    from pfrl_tpu.agents import DQN, DoubleDQNCore
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.q_functions import FCStateQFunctionWithDiscreteAction
+    from pfrl_tpu.replay import ReplayBuffer
+    from pfrl_tpu.utils.pretrained_models import download_model
+    from pfrl_tpu.wrappers import CastObservationToFloat32
+
+    path, exists = download_model(
+        "double_dqn", "lunarlander_real", model_type="best"
+    )
+    assert exists
+    agent = DQN(
+        q_function=FCStateQFunctionWithDiscreteAction(
+            n_actions=4, n_hidden_channels=256, n_hidden_layers=2
+        ),
+        optimizer=optax.adam(6e-4),
+        replay_buffer=ReplayBuffer(1000, gamma=0.99),
+        gamma=0.99,
+        explorer=explorers.LinearDecayEpsilonGreedy(1.0, 0.05, 100, 4),
+        replay_start_size=10,
+        minibatch_size=64,
+        seed=0,
+        core_cls=DoubleDQNCore,
+    )
+    agent.load(path)
+    eval_env = SerialVectorEnv(
+        [
+            CastObservationToFloat32(
+                make_gymnasium_env("LunarLander-v3", seed=10_000 + i)
+            )
+            for i in range(5)
+        ]
+    )
+    stats = experiments.eval_performance(
+        env=eval_env, agent=agent, n_steps=None, n_episodes=5
+    )
+    assert stats["mean"] >= 200.0, stats
