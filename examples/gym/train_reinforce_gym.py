@@ -5,6 +5,7 @@ Monte-Carlo policy gradient with a softmax policy, driven by
 ``train_agent_with_evaluation`` (the serial act/observe protocol).
 
     python train_reinforce_gym.py --steps 100000
+    python train_reinforce_gym.py --env CartPole-v1   # real gymnasium env
 """
 
 import argparse
@@ -32,6 +33,12 @@ class Policy(nn.Module):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--env", default="cartpole",
+        help="'cartpole' for the in-repo device sim stepped on the host, "
+        "or any real gymnasium env id with a discrete action space "
+        "(hard-fails if unavailable)",
+    )
     parser.add_argument("--steps", type=int, default=100_000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -46,9 +53,27 @@ def main():
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
+    if args.env == "cartpole":
+        def make_env(seed):
+            return HostJaxEnv(TimeLimit(CartPole(), 500), seed=seed)
+
+        n_actions = 2
+    else:
+        # Real gymnasium env (reference train_reinforce_gym.py trains real
+        # gym envs unconditionally).
+        from pfrl_tpu.envs import make_gymnasium_env
+        from pfrl_tpu.wrappers import CastObservationToFloat32
+
+        def make_env(seed):
+            return CastObservationToFloat32(
+                make_gymnasium_env(args.env, seed=seed)
+            )
+
+        n_actions = make_env(args.seed).action_space.n
+
     outdir = experiments.prepare_output_dir(args, args.outdir)
     agent = REINFORCE(
-        Policy(),
+        Policy(n_actions=n_actions),
         optax.adam(args.lr),
         gamma=0.99,
         beta=args.beta,
@@ -58,8 +83,8 @@ def main():
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         seed=args.seed,
     )
-    env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed)
-    eval_env = HostJaxEnv(TimeLimit(CartPole(), 500), seed=args.seed + 10**6)
+    env = make_env(args.seed)
+    eval_env = make_env(args.seed + 10**6)
     if args.load:
         agent.load(args.load)
     if args.demo:
