@@ -5,6 +5,7 @@ wired to the in-repo pure-JAX Pendulum. Exercises the pfrl-protocol path:
 PPO shell agent + SerialVectorEnv + train_agent_batch_with_evaluation.
 
 Usage: python examples/gym/train_ppo_pendulum.py --steps 100000
+       python examples/gym/train_ppo_pendulum.py --env Pendulum-v1  # real env
 """
 
 import argparse
@@ -50,6 +51,12 @@ class PiV(nn.Module):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--env", default="pendulum",
+        help="'pendulum' for the in-repo device sim stepped on the host, "
+        "or any real gymnasium env id with a 1-D continuous action space "
+        "(hard-fails if unavailable)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=100_000)
     parser.add_argument("--num-envs", type=int, default=8)
@@ -60,16 +67,31 @@ def main():
     add_demo_args(parser, save=False)
     args = parser.parse_args()
 
+    if args.env == "pendulum":
+        def make_one(seed):
+            return HostJaxEnv(TimeLimit(Pendulum()), seed=seed)
+
+        action_size = 1
+    else:
+        # Real gymnasium env (the reference reproduction builds real gym
+        # envs unconditionally).
+        from pfrl_tpu.envs import make_gymnasium_env
+        from pfrl_tpu.wrappers import CastObservationToFloat32, NormalizeActionSpace
+
+        def make_one(seed):
+            return NormalizeActionSpace(
+                CastObservationToFloat32(make_gymnasium_env(args.env, seed=seed))
+            )
+
+        action_size = make_one(args.seed).action_space.shape[0]
+
     def make_vec(seed0):
         return SerialVectorEnv(
-            [
-                HostJaxEnv(TimeLimit(Pendulum()), seed=seed0 + i)
-                for i in range(args.num_envs)
-            ]
+            [make_one(seed0 + i) for i in range(args.num_envs)]
         )
 
     agent = PPO(
-        PiV(),
+        PiV(action_size=action_size),
         optax.adam(3e-4),
         gamma=0.99,
         lambd=0.95,
