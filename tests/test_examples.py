@@ -368,7 +368,11 @@ def test_shell_train_then_demo_reload(tmp_path, script, train_args, demo_args):
 
     outdir = str(tmp_path / "out")
     run_example(script, train_args + ["--outdir", outdir], timeout=900)
-    finish = glob.glob(os.path.join(outdir, "*_finish"))
+    # prepare_output_dir-style scripts nest a timestamped exp dir under
+    # --outdir; search recursively so both layouts match.
+    finish = glob.glob(os.path.join(outdir, "*_finish")) or glob.glob(
+        os.path.join(outdir, "*", "*_finish")
+    )
     assert finish, os.listdir(outdir)
     out = run_example(
         script, demo_args + ["--demo", "--load", finish[0]], timeout=900
