@@ -265,6 +265,7 @@ def test_round5_zoo_entries_resolve():
         ("sac", "hopper_real"),
         ("td3", "halfcheetah_real"),
         ("double_dqn", "lunarlander_real"),
+        ("reinforce", "cartpole_real"),
     ]:
         path, exists = download_model(alg, env_name, model_type="best")
         assert exists, (alg, env_name)
@@ -661,3 +662,57 @@ def test_load_zoo_double_dqn_lunarlander_real_and_eval():
         env=eval_env, agent=agent, n_steps=None, n_episodes=5
     )
     assert stats["mean"] >= 200.0, stats
+
+
+@pytest.mark.slow
+def test_load_zoo_reinforce_cartpole_real_and_eval():
+    """Restore the real-gymnasium REINFORCE CartPole-v1 zoo checkpoint
+    (best of the 300k-step run, benchmarks/curves/reinforce_cartpole_real;
+    the recorded best eval is 500.0 mean) and eval on the REAL env with
+    fresh seeds (reference analog: examples/gym/train_reinforce_gym.py
+    trains real gym envs)."""
+    import flax.linen as nn
+    import optax
+
+    pytest.importorskip("gymnasium")
+
+    from pfrl_tpu import experiments
+    from pfrl_tpu.agents import REINFORCE
+    from pfrl_tpu.envs import SerialVectorEnv, make_gymnasium_env
+    from pfrl_tpu.policies import SoftmaxCategoricalHead
+    from pfrl_tpu.utils.pretrained_models import download_model
+    from pfrl_tpu.wrappers import CastObservationToFloat32
+
+    class Policy(nn.Module):
+        n_actions: int = 2
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(128)(x))
+            return SoftmaxCategoricalHead()(nn.Dense(self.n_actions)(h))
+
+    path, exists = download_model("reinforce", "cartpole_real", model_type="best")
+    assert exists
+    agent = REINFORCE(
+        Policy(),
+        optax.adam(1e-3),
+        gamma=0.99,
+        beta=1e-4,
+        batchsize=10,
+        max_episode_len=500,
+        baseline=True,
+        seed=0,
+    )
+    agent.load(path)
+    eval_env = SerialVectorEnv(
+        [
+            CastObservationToFloat32(
+                make_gymnasium_env("CartPole-v1", seed=10_000 + i)
+            )
+            for i in range(5)
+        ]
+    )
+    stats = experiments.eval_performance(
+        env=eval_env, agent=agent, n_steps=None, n_episodes=5
+    )
+    assert stats["mean"] >= 400.0, stats
