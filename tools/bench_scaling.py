@@ -155,7 +155,11 @@ def main():
         float(np.asarray(_f(_x)))
         _floor = min(_floor, time.time() - _t0)
 
-    path = os.path.join(REPO, "SCALING_r04.json")
+    # Round-stamped output: write the CURRENT round's file (override with
+    # SCALING_OUT). Earlier rounds' files are kept as committed history.
+    path = os.environ.get(
+        "SCALING_OUT", os.path.join(REPO, "SCALING_r05.json")
+    )
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
