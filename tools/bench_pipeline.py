@@ -32,7 +32,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT_PATH = os.path.join(REPO, "PIPELINE_r04.json")
+# Round-stamped output (override with PIPELINE_OUT); earlier rounds'
+# files are committed history.
+OUT_PATH = os.environ.get(
+    "PIPELINE_OUT", os.path.join(REPO, "PIPELINE_r05.json")
+)
 
 
 def bench_frame_pipeline(seconds=3.0):
