@@ -210,7 +210,18 @@ def main():
             print(json.dumps(row), flush=True)
     else:
         row = run_config(args.workers, args.lanes, args.seconds, args.burst)
-        out["single"] = row
+        # Merge into the grid (replacing any stale row for the same
+        # config) so successive single-config runs accumulate instead of
+        # clobbering one "single" slot.
+        out["grid"] = [
+            g for g in out["grid"]
+            if (g["actors"], g["lanes_per_actor"])
+            != (row["actors"], row["lanes_per_actor"])
+        ] + [row]
+        ok_rows = [g for g in out["grid"] if "error" not in g]
+        if ok_rows:
+            out["best"] = max(ok_rows, key=lambda g: g["env_steps_per_sec"])
+        out.pop("single", None)
         _save(out)
         print(json.dumps(row), flush=True)
 
